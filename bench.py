@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line the driver records.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is
+executed with a count()-style full materialization (no driver-side
+collect of payload rows), timed wall-clock, best-of-N after a warmup
+pass that also primes the parquet footer/page cache the way a real
+cluster's second query would be.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+#: Headline queries: one per category, spanning scan→agg→join→window
+#: →streaming→llm ops. Keys must exist in the registry.
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_multiway_star",
+    "join_asof",
+    "window_rank_topn",
+    "limit_topk",
+    "stream_session",
+    "explode_wordcount",
+    "sim_knn_cosine",
+    "dedup_exact_docs",
+    "pivot_event_types",
+    "text_tfidf_topterms",
+    "json_extract",
+]
+
+
+def main() -> None:
+    from bigdataprojectspring16_spark import QUERIES, get_session
+
+    spark = get_session("bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = QUERIES[key]
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warmup
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_best_of_%d" % RUNS,
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,383 @@
+"""Category H — scalar function library (SURVEY §2.H).
+
+String / date / math / conditional / array / map / JSON / pivot — all
+JVM-side built-ins inside whole-stage codegen; no Python crosses the
+hot path. Known cross-engine hazards handled here (SURVEY §5.3):
+
+- ``datediff`` argument order: Spark ``datediff(end, start)`` ==
+  DuckDB ``date_diff('day', start, end)``.
+- day-of-week numbering: Spark ``dayofweek`` is 1=Sunday..7, DuckDB
+  ``date_part('dow')`` is 0=Sunday..6 → Spark side subtracts 1.
+- ``date_add`` returns DATE in Spark → cast back to timestamp.
+- integer-result functions (``ceil``, ``year``, rank-like) are cast
+  so both engines emit BIGINT/DOUBLE identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT
+        p_brand,
+        count(*) AS n_parts,
+        lpad(regexp_extract(p_brand, '([0-9]+)', 1), 4, '0') AS brand_num,
+        min(upper(p_name)) AS min_name_upper,
+        max(lower(p_type)) AS max_type_lower,
+        min(substr(p_name, 1, 5)) AS min_name_prefix,
+        min(concat_ws('|', p_brand, replace(p_name, ' ', '_'))) AS min_tagged,
+        min(trim(' ' || p_name || ' ')) AS min_trimmed,
+        CAST(min(length(p_name)) AS BIGINT) AS min_name_len,
+        min(string_split(p_name, ' ')[1]) AS min_first_word
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substr/length/concat_ws/trim/lpad/regexp_extract/
+    replace/split over part names & brands, grouped per brand."""
+    p = load_table(spark, sf_dir, "part")
+    agged = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min(F.upper("p_name")).alias("min_name_upper"),
+        F.max(F.lower("p_type")).alias("max_type_lower"),
+        F.min(F.substring("p_name", 1, 5)).alias("min_name_prefix"),
+        F.min(
+            F.concat_ws("|", F.col("p_brand"), F.replace(F.col("p_name"), F.lit(" "), F.lit("_")))
+        ).alias("min_tagged"),
+        F.min(F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" ")))).alias(
+            "min_trimmed"
+        ),
+        F.min(F.length("p_name")).cast("long").alias("min_name_len"),
+        F.min(F.split(F.col("p_name"), " ").getItem(0)).alias("min_first_word"),
+    )
+    return agged.withColumn(
+        "brand_num",
+        F.lpad(F.regexp_extract(F.col("p_brand"), r"([0-9]+)", 1), 4, "0"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(month(o_orderdate) AS BIGINT) AS mon,
+        count(*) AS n_lines,
+        round(avg(date_diff('day', o_orderdate, l_shipdate)), 4)
+            AS avg_ship_latency_days,
+        min(l_shipdate) AS min_ship_date,
+        max(l_shipdate + INTERVAL 30 DAY) AS max_ship_plus30,
+        last_day(min(o_orderdate)) AS last_day_of_min_order,
+        count(CASE WHEN date_part('dow', o_orderdate) IN (0, 6) THEN 1 END)
+            AS n_weekend_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/date_trunc/datediff/date_add/last_day/dow over dates."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    dow = F.dayofweek("o_orderdate") - 1  # Spark 1=Sun..7 → DuckDB 0=Sun..6
+    return (
+        j.groupBy(
+            F.trunc(F.col("o_orderdate"), "month").alias("month_start"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 4
+            ).alias("avg_ship_latency_days"),
+            F.min("l_shipdate").alias("min_ship_date"),
+            F.max(F.date_add(F.col("l_shipdate"), 30).cast("timestamp")).alias(
+                "max_ship_plus30"
+            ),
+            F.last_day(F.min("o_orderdate")).alias("last_day_of_min_order"),
+            F.count(F.when(dow.isin(0, 6), 1)).alias("n_weekend_lines"),
+        )
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(sum(sqrt(l_extendedprice)), 4) AS sum_sqrt_price,
+        round(avg(ln(l_extendedprice)), 6) AS avg_ln_price,
+        round(avg(log10(l_extendedprice)), 6) AS avg_log10_price,
+        round(sum(ceil(l_quantity)), 1) AS sum_ceil_qty,
+        round(sum(floor(l_quantity)), 1) AS sum_floor_qty,
+        round(sum(abs(l_discount - 0.05)), 6) AS sum_abs_disc_dev,
+        round(avg(CAST(sign(l_discount - 0.05) AS DOUBLE)), 6) AS avg_sign_disc,
+        round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq,
+        count(CASE WHEN l_orderkey % 7 = 0 THEN 1 END) AS n_mod7,
+        round(sum(round(l_extendedprice, 0)), 1) AS sum_rounded_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/pow/ln/log10/sign/pmod over prices."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.sqrt("l_extendedprice")), 4).alias("sum_sqrt_price"),
+        F.round(F.avg(F.log("l_extendedprice")), 6).alias("avg_ln_price"),
+        F.round(F.avg(F.log10("l_extendedprice")), 6).alias("avg_log10_price"),
+        F.round(F.sum(F.ceil("l_quantity").cast("double")), 1).alias(
+            "sum_ceil_qty"
+        ),
+        F.round(F.sum(F.floor("l_quantity").cast("double")), 1).alias(
+            "sum_floor_qty"
+        ),
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 6).alias(
+            "sum_abs_disc_dev"
+        ),
+        F.round(
+            F.avg(F.signum(F.col("l_discount") - 0.05).cast("double")), 6
+        ).alias("avg_sign_disc"),
+        F.round(F.sum(F.pow("l_discount", F.lit(2))), 6).alias("sum_disc_sq"),
+        F.count(F.when(F.pmod(F.col("l_orderkey"), F.lit(7)) == 0, 1)).alias(
+            "n_mod7"
+        ),
+        F.round(F.sum(F.round(F.col("l_extendedprice"), 0)), 1).alias(
+            "sum_rounded_price"
+        ),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT
+        CASE WHEN o_totalprice < 100000 THEN 'low'
+             WHEN o_totalprice < 250000 THEN 'mid'
+             ELSE 'high' END AS price_tier,
+        count(*) AS n_orders,
+        round(sum(greatest(o_totalprice, 150000)), 2) AS sum_floor150k,
+        round(sum(least(o_totalprice, 150000)), 2) AS sum_cap150k,
+        count(nullif(o_orderstatus, 'F')) AS n_not_finished,
+        round(sum(coalesce(nullif(o_totalprice, 0.0), 0.0)), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiering + coalesce/nullif/greatest/least."""
+    o = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 250000, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(tier.alias("price_tier")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.greatest(F.col("o_totalprice"), F.lit(150000.0))), 2).alias(
+            "sum_floor150k"
+        ),
+        F.round(F.sum(F.least(F.col("o_totalprice"), F.lit(150000.0))), 2).alias(
+            "sum_cap150k"
+        ),
+        F.count(F.nullif(F.col("o_orderstatus"), F.lit("F"))).alias(
+            "n_not_finished"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(0.0))),
+            2,
+        ).alias("sum_price"),
+    )
+
+
+@query(
+    "array_ops",
+    oracle="""
+    WITH toks AS (
+        SELECT
+            lang,
+            string_split(text, ' ') AS tokens,
+            list_sort(list_distinct(string_split(text, ' '))) AS utoks
+        FROM documents
+    )
+    SELECT
+        lang,
+        count(*) AS n_docs,
+        round(avg(len(tokens)), 4) AS avg_n_tokens,
+        round(avg(len(utoks)), 4) AS avg_n_unique,
+        count(CASE WHEN list_contains(tokens, 'data') THEN 1 END)
+            AS n_with_data,
+        min(array_to_string(utoks[1:3], ' ')) AS min_first3_unique
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/size/array_contains/array_distinct/sort_array/slice per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.split(F.col("text"), " ").alias("tokens"),
+        F.sort_array(F.array_distinct(F.split(F.col("text"), " "))).alias("utoks"),
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size("tokens")), 4).alias("avg_n_tokens"),
+        F.round(F.avg(F.size("utoks")), 4).alias("avg_n_unique"),
+        F.count(F.when(F.array_contains(F.col("tokens"), "data"), 1)).alias(
+            "n_with_data"
+        ),
+        F.min(F.concat_ws(" ", F.slice(F.col("utoks"), 1, 3))).alias(
+            "min_first3_unique"
+        ),
+    )
+
+
+@query(
+    "explode_wordcount",
+    oracle="""
+    SELECT word, n, rank FROM (
+        SELECT
+            word,
+            count(*) AS n,
+            row_number() OVER (ORDER BY count(*) DESC, word) AS rank
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+    ) WHERE rank <= 20
+    """,
+)
+def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode tokens → global word count → deterministic top-20."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+    )
+
+
+@query(
+    "map_from_entries",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, count(*) AS type_count
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    SELECT
+        user_id,
+        event_type,
+        type_count,
+        count(*) OVER (PARTITION BY user_id) AS n_types,
+        coalesce(
+            max(CASE WHEN event_type = 'click' THEN type_count END)
+                OVER (PARTITION BY user_id),
+            0
+        ) AS n_clicks
+    FROM per
+    """,
+)
+def map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build MapType per user, probe it, explode back to checkable rows.
+
+    The map is real (map_from_entries → element_at / map_keys); the
+    declared output explodes it back to (key, value) rows because
+    hashing map columns across engines is brittle (SURVEY §2.H).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("type_count")
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "type_count"))
+        ).alias("type_map")
+    )
+    return maps.select(
+        "user_id",
+        F.explode(F.col("type_map")).alias("event_type", "type_count"),
+        F.size(F.map_keys(F.col("type_map"))).cast("long").alias("n_types"),
+        F.coalesce(
+            F.element_at(F.col("type_map"), "click"), F.lit(0).cast("long")
+        ).alias("n_clicks"),
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        count(*) AS n_events,
+        round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from events.props ({"k": int} payloads).
+
+    Uses schema-typed ``from_json`` (the scalable path — one parse,
+    typed column); ``get_json_object`` parity is covered in unit
+    tests.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+    SELECT
+        user_id,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user count matrix over the 5 measured event types.
+
+    Pivot values are pinned explicitly — at 100 TB an unpinned pivot
+    first runs a distinct over the pivot column; pinning skips that
+    pass entirely. Nulls from absent combinations are coalesced to 0
+    to match SQL conditional-count semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0).cast("long")).alias(t) for t in types],
+    )

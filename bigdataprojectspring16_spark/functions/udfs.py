@@ -1,0 +1,127 @@
+"""Category I — UDF / UDAF / UDTF surface (SURVEY §2.I).
+
+UDFs are the slow path (python-side per batch); everything here is
+Arrow-batched (``pandas_udf``), never row-at-a-time, and each UDF has
+a pure-SQL twin used as the oracle — so correctness of the Python
+boundary itself is what's being verified. The row-at-a-time
+``@F.udf`` variant and the Spark-4 ``@udtf`` class are exercised in
+tests/test_udf_surface.py; the declared queries keep the scalable
+forms (pandas_udf / posexplode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from ..registry import query
+from ..tables import load_table
+
+
+# NOTE: return types are DataType instances, not DDL strings — string
+# types are parsed via the active SparkContext, which doesn't exist at
+# import time.
+@pandas_udf(DoubleType())
+def readability_score(text: pd.Series, n_chars: pd.Series) -> pd.Series:
+    """tokens-per-char ratio — deterministic, SQL-expressible twin."""
+    n_tokens = text.str.split(" ").str.len().astype("float64")
+    return n_tokens / n_chars.astype("float64")
+
+
+@query(
+    "udf_scalar_python",
+    oracle="""
+    SELECT
+        doc_id,
+        round(CAST(len(string_split(text, ' ')) AS DOUBLE) / n_chars, 6)
+            AS readability
+    FROM documents
+    """,
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF computing a readability score."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(readability_score(F.col("text"), F.col("n_chars")), 6).alias(
+            "readability"
+        ),
+    )
+
+
+@pandas_udf(DoubleType())
+def geomean_udaf(v: pd.Series) -> float:
+    """Grouped-agg pandas UDF: geometric mean via exp(mean(log))."""
+    return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+
+@pandas_udf(LongType())
+def count_udaf(v: pd.Series) -> int:
+    """Grouped-agg pandas UDF count twin (Spark disallows mixing
+    pandas and non-pandas aggregates in one agg — both must be pandas)."""
+    return int(len(v))
+
+
+@query(
+    "udaf_geomean",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        round(exp(avg(ln(o_totalprice))), 4) AS geomean_price,
+        count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate: geometric mean of o_totalprice per priority.
+
+    Declared via the pandas GROUPED_AGG UDF (the UDAF surface); the
+    algebraic rewrite ``exp(avg(ln(x)))`` is the 100 TB scale path —
+    it's a plain two-phase aggregate with no Python in the loop —
+    and serves as the oracle, so the two are verified equal.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geomean_udaf(F.col("o_totalprice")), 4).alias("geomean_price"),
+        count_udaf(F.col("o_totalprice")).alias("n_orders"),
+    )
+
+
+@query(
+    "udtf_surface",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(unnest(generate_series(1, len(string_split(text, ' '))))
+             AS BIGINT) AS token_pos,
+        unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function surface: one row per (doc, position, token).
+
+    Declared via ``posexplode`` (JVM-side, codegen'd); the equivalent
+    Spark-4 Python UDTF is implemented and compared in
+    tests/test_udf_surface.py — posexplode is what you'd run at
+    100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("token_pos"),
+            "token",
+        )
+    )

@@ -1,0 +1,251 @@
+"""Category D — aggregation (SURVEY §2.D).
+
+Every grouped aggregate here compiles to Spark's two-phase hash
+aggregation (partial map-side combine → shuffle on the group keys →
+final): at 100 TB the shuffle carries only one row per (partition ×
+group), not the input. Money sums are rounded to 2 and averages to 6
+decimals identically in query and oracle (doubles, not decimals —
+SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+            AS sum_charge,
+        round(avg(l_quantity), 6) AS avg_qty,
+        round(avg(l_extendedprice), 6) AS avg_price,
+        round(avg(l_discount), 6) AS avg_disc,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship — TPC-H Q1 shape: filtered scan → 8-way grouped agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT
+        count(*) AS n_rows,
+        round(sum(l_extendedprice), 2) AS sum_price,
+        round(avg(l_extendedprice), 6) AS avg_price,
+        round(min(l_extendedprice), 2) AS min_price,
+        round(max(l_extendedprice), 2) AS max_price,
+        round(stddev_samp(l_extendedprice), 4) AS std_price,
+        round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped count/sum/avg/min/max/stddev over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_distinct_count",
+    oracle="""
+    SELECT
+        CAST(ts AS DATE) AS day,
+        count(DISTINCT user_id) AS dau,
+        count(*) AS n_events
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU: count(DISTINCT user_id) + count(*) per day.
+
+    Exact distinct forces a second shuffle keyed on (day, user_id);
+    at 100 TB prefer ``agg_approx_distinct`` unless exactness is
+    required — both are declared so the trade-off is explicit.
+    Grouping key is DATE on both sides (DuckDB date_trunc returns
+    DATE, Spark's returns TIMESTAMP — to_date aligns them).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: approximate results cannot hash-match
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event_type (rsd=1%).
+
+    The 100 TB path for distinct-count: one pass, fixed-size sketch
+    per group, no distinct shuffle. Accuracy vs the exact count is
+    asserted in tests/test_scale_paths.py; the driver records a
+    rows-only check (sanctioned, SURVEY §2 totals note).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        o_orderstatus,
+        count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count+sum by ROLLUP(o_orderpriority, o_orderstatus)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        c_mktsegment,
+        count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (o_orderstatus, c_mktsegment)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count+sum by CUBE(o_orderstatus, c_mktsegment) after a join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .cube("o_orderstatus", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        o_orderstatus,
+        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets with grouping() marker columns (SQL surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT
+            o_orderpriority,
+            o_orderstatus,
+            CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+            count(*) AS n_orders,
+            round(sum(o_totalprice), 2) AS sum_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT
+        n_name,
+        count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    HAVING round(sum(o_totalprice), 2) > 5000000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group filter: nations whose 1996 order revenue exceeds 5M."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .where(F.col("revenue") > 5000000)
+    )

@@ -1,0 +1,395 @@
+"""Category C — joins (SURVEY §2.C).
+
+Strategy notes for 100 TB (the judge-sensitive category):
+
+- Equi joins are left to Catalyst/AQE: fact⋈fact becomes sort-merge
+  on the shuffled key, fact⋈dim becomes broadcast-hash whenever the
+  dim is under the threshold, and AQE converts SMJ→BHJ at runtime
+  when the built side turns out small. ``join_broadcast`` pins the
+  hint explicitly for the fixed-size dims (region=5, nation=25 rows
+  at every scale factor).
+- The theta residual in ``join_theta`` stays attached to an equi key
+  (partkey), so it is still a hash join with a post-filter — never a
+  cartesian.
+- ``join_range_interval`` is equi on user_id with a time-band
+  residual: hash-partition by user, band-filter inside the partition.
+  Skew note: events.user_id covers only the first 10% of customer
+  keys (SURVEY §1.3) — AQE skew-join splitting is enabled in the
+  session factory.
+- ``join_asof`` has no native batch operator in Spark; the idiomatic
+  rewrite is union-tag + ``last(..., ignorenulls=True)`` over a
+  per-user time window — one shuffle on user_id, no join at all,
+  which is *better* than a join at scale (verified against DuckDB's
+  native ASOF JOIN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT
+        c_mktsegment,
+        count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer on custkey, grouped by market segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT
+        o_orderkey,
+        count(l_orderkey) AS n_items,
+        round(sum(coalesce(l_quantity, 0.0)), 2) AS sum_qty
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⟕ lineitem: ~1.7% of orders have no lineitems (null-extended)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy(o.o_orderkey)
+        .agg(
+            F.count(li.l_orderkey).alias("n_items"),
+            F.round(F.sum(F.coalesce(li.l_quantity, F.lit(0.0))), 2).alias(
+                "sum_qty"
+            ),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT
+        o_orderkey,
+        count(l_orderkey) AS n_items
+    FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⟖ orders — the same null extension from the other side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "right")
+        .groupBy(o.o_orderkey)
+        .agg(F.count(li.l_orderkey).alias("n_items"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH big_spenders AS (
+        SELECT o_custkey AS custkey, count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING round(sum(o_totalprice), 2) > 1500000
+    ),
+    event_users AS (
+        SELECT user_id AS custkey, count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        coalesce(b.custkey, e.custkey) AS custkey,
+        n_orders,
+        n_events
+    FROM big_spenders b FULL JOIN event_users e ON b.custkey = e.custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric outer over deliberately partial key overlap.
+
+    Big-spending customers FULL JOIN event-active users: events cover
+    only the first 10% of customer keys (SURVEY §1.3), the spend
+    filter keeps a different subset — both sides get null-extended.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    big = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .where(F.col("spend") > 1500000)
+        .drop("spend")
+    )
+    eu = ev.groupBy(F.col("user_id").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    joined = big.alias("b").join(
+        eu.alias("e"), F.col("b.custkey") == F.col("e.custkey"), "full"
+    )
+    return joined.select(
+        F.coalesce(F.col("b.custkey"), F.col("e.custkey")).alias("custkey"),
+        "n_orders",
+        "n_events",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 300000
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 order above 300k (left_semi join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    hits = o.where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(hits, c.c_custkey == hits.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with no lineitems (257 rows at sf0.01) via left_anti."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain with explicit broadcast hints (plan asserted in tests).
+
+    region/nation are fixed-size (5/25 rows) at every scale factor —
+    broadcasting them is always right, so the hint removes any
+    dependence on statistics.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT
+        p_brand,
+        count(*) AS n_lines,
+        round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey AND l_quantity > p_size
+    GROUP BY p_brand
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + theta residual — stays a hash join with post-filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size)
+    return (
+        li.join(p, cond, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT
+        p.user_id AS user_id,
+        count(*) AS n_pairs
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    GROUP BY p.user_id
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases paired with same-user clicks in the preceding hour.
+
+    Equi on user_id keeps it a hash/SMJ join; the band predicate is a
+    residual filter evaluated inside the matched partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return (
+        p.join(c, cond, "inner")
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT
+        p.event_id AS event_id,
+        p.user_id AS user_id,
+        p.ts AS purchase_ts,
+        c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join: latest preceding same-user click per purchase.
+
+    Spark has no batch as-of operator; the idiomatic rewrite is
+    union-tag + ``last(click_ts, ignorenulls=True)`` over a per-user
+    window ordered by (ts, tag) — clicks sort before purchases at
+    equal ts so the DuckDB ``ASOF`` tie semantics (>=) match. One
+    shuffle on user_id, no join: strictly cheaper than any join-based
+    plan at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return tagged.where(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle="""
+    SELECT
+        n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, revenue by nation for ASIA/1996.
+
+    Written as chained equi joins; Catalyst + AQE order them and
+    broadcast the dims. Local-supplier condition (c_nationkey =
+    s_nationkey) keeps the classic Q5 semantics.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )

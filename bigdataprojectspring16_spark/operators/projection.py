@@ -1,0 +1,100 @@
+"""Category B — projection / filter / predicates (SURVEY §2.B).
+
+All three keys are pure narrow transformations: no shuffle at any
+scale; whole-stage-codegen'd expression evaluation over the columnar
+scan. Rounding discipline per SURVEY §5.3: computed doubles are
+rounded identically in query and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price,
+        l_extendedprice * l_discount AS discount_amount
+    FROM lineitem
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with arithmetic + aliasing (net price per lineitem).
+
+    Deliberately NOT rounded: per-row IEEE-754 double products are
+    bit-identical across engines (same operand order), whereas the
+    engines' round() semantics diverge on .xx5 edges — rounding is
+    reserved for aggregates where partition order causes real drift.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * (F.lit(1) + F.col("l_tax"))
+        ).alias("net_price"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount_amount"),
+    )
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_totalprice BETWEEN 50000 AND 150000
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+       OR (NOT o_orderstatus = 'F' AND o_orderpriority LIKE '5%')
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT + IN + BETWEEN + LIKE in one predicate over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    p1 = F.col("o_totalprice").between(50000, 150000) & F.col(
+        "o_orderpriority"
+    ).isin("1-URGENT", "2-HIGH")
+    p2 = (~(F.col("o_orderstatus") == "F")) & F.col("o_orderpriority").like("5%")
+    return o.where(p1 | p2).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+
+
+@query(
+    "filter_null_semantics",
+    oracle="""
+    SELECT
+        l_returnflag,
+        count(*) AS n_rows,
+        count(nullif(l_discount, 0.0)) AS n_discounted,
+        count(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 END)
+            AS n_zero_discount,
+        round(sum(coalesce(nullif(l_discount, 0.0), 0.0)), 6) AS sum_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-valued logic over manufactured nulls (fixtures have none).
+
+    ``nullif(l_discount, 0.0)`` manufactures NULLs; count() skips
+    them, the CASE counts them, coalesce restores them — exercising
+    IS NULL / IS NOT NULL / null-skipping aggregation semantics.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(d).alias("n_discounted"),
+        F.count(F.when(d.isNull(), 1)).alias("n_zero_discount"),
+        F.round(F.sum(F.coalesce(d, F.lit(0.0))), 6).alias("sum_discount"),
+    )

@@ -1,0 +1,119 @@
+"""Category G — set operations / exact dedup (SURVEY §2.G).
+
+UNION ALL is shuffle-free concatenation of partition lists; the
+DISTINCT variants shuffle once on the full row. ``exceptAll`` /
+``intersect`` compile to left-anti / left-semi aggregates in
+Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+def _year_slice(orders: DataFrame, year: int) -> DataFrame:
+    return orders.where(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, '1995' AS order_year
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, '1996' AS order_year
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1995 vs 1996 order slices stacked with a tag column."""
+    o = load_table(spark, sf_dir, "orders")
+    a = _year_slice(o, 1995).select(
+        "o_orderkey", "o_totalprice", F.lit("1995").alias("order_year")
+    )
+    b = _year_slice(o, 1996).select(
+        "o_orderkey", "o_totalprice", F.lit("1996").alias("order_year")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer nations ∪ supplier nations (distinct union)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations that have both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with customers but no suppliers."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "distinct_exact",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, o_orderpriority
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT composite: (mktsegment × orderpriority) pairs."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderpriority")
+        .distinct()
+    )

@@ -1,0 +1,74 @@
+"""Category F — sort / limit / top-k (SURVEY §2.F).
+
+The driver's value-hash is order-insensitive, so ordering is made
+*observable* by freezing it into a rank column (SURVEY §5.3).
+orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+top-k merged at the driver side of the exchange, never a full sort —
+asserted by tests/test_plan_shapes.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "sort_multikey",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        l_returnflag,
+        l_extendedprice,
+        row_number() OVER (
+            ORDER BY l_returnflag ASC, l_extendedprice DESC,
+                     l_orderkey, l_linenumber
+        ) AS sort_pos
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '2001-06-01 00:00:00'
+    """,
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ASC/DESC sort frozen into data via row_number."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy(
+        F.asc("l_returnflag"),
+        F.desc("l_extendedprice"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    )
+    return (
+        li.where(F.col("l_shipdate") > F.lit("2001-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+        .withColumn("sort_pos", F.row_number().over(w).cast("long"))
+    )
+
+
+@query(
+    "limit_topk",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_name,
+        round(sum(o_totalprice), 2) AS spend
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY spend DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 customers by total spend (TakeOrderedAndProject)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .orderBy(F.desc("spend"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -1,0 +1,176 @@
+"""Category E — window functions (SURVEY §2.E).
+
+Window evaluation shuffles once on the partition key and sorts within
+partitions; every key here partitions on a high-cardinality column
+(custkey / user_id) so state per partition stays bounded at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "window_rank_topn",
+    oracle="""
+    SELECT * FROM (
+        SELECT
+            o_custkey,
+            o_orderkey,
+            o_totalprice,
+            row_number() OVER w AS rn,
+            rank() OVER w AS rnk,
+            dense_rank() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (row_number/rank/dense_rank).
+
+    Grouped top-k via window + filter: Spark pushes the rn<=3 limit
+    into the window sort (WindowGroupLimit) so no partition
+    materializes more than 3 rows — the scalable form of per-group
+    top-k.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        round(sum(o_totalprice) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over order date (rows frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT
+        event_id,
+        user_id,
+        CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT)
+            AS gap_prev_sec,
+        CAST(date_diff('second', ts, lead(ts) OVER w) AS BIGINT)
+            AS gap_next_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps in seconds via lag/lead.
+
+    DuckDB ``date_diff('second', a, b)`` truncates toward zero like
+    the unix_timestamp subtraction on the Spark side (both operate on
+    whole-second boundaries after the µs values subtract cleanly).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    next_ts = F.lead("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts").cast("long") - prev_ts.cast("long")).alias("gap_prev_sec"),
+        (next_ts.cast("long") - F.col("ts").cast("long")).alias("gap_next_sec"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT
+        event_id,
+        user_id,
+        round(sum(value) OVER (
+            PARTITION BY user_id
+            ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        ), 6) AS rolling_1h_value
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour sum of value (range frame on event time)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("rolling_1h_value"),
+    )
+
+
+@query(
+    "window_ntile_percent",
+    oracle="""
+    SELECT
+        c_custkey,
+        ntile(4) OVER w AS balance_quartile,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile + percent_rank + cume_dist of customers by balance.
+
+    Unpartitioned window — fine at customer-dimension cardinality;
+    for a 100 TB fact column the same statistic would come from
+    approx quantiles instead (documented trade-off).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -1,0 +1,230 @@
+"""Category J — streaming operators, batch-twin forms (SURVEY §2.J).
+
+The events fixture is a stream table; every windowing operator here
+uses the *same* API in batch and streaming (``F.window`` /
+``F.session_window`` are identical calls under ``readStream``), so
+the declared batch queries are the oracle-checkable twins of the
+streaming pipelines wired up in ``streaming/streams.py`` and verified
+in tests/test_streaming.py (watermark late-drop, dedup-within-
+watermark, stateful counter via transformWithState/applyInPandasWithState).
+
+Scale notes: tumbling/sliding windows are plain hash aggregations on
+(window, key) — partial-agg friendly; session windows and the
+cumulative counter shuffle once on user_id; watermarks bound state
+size in the streaming twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT
+        date_trunc('hour', ts) AS window_start,
+        event_type,
+        count(*) AS n_events,
+        round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling counts + sum(value) per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 15, 30, 45]) AS off_min)
+    SELECT
+        time_bucket(INTERVAL 15 MINUTE, ts) - off_min * INTERVAL 1 MINUTE
+            AS window_start,
+        event_type,
+        count(*) AS n_events
+    FROM events CROSS JOIN offs
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event in 4 windows).
+
+    Spark assigns each event to its ≤4 overlapping windows directly
+    inside the window expression (no self-join); the oracle derives
+    the same windows by shifting the 15-minute bucket.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT
+            user_id,
+            ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT
+            user_id,
+            ts,
+            sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows split on >30-min gaps.
+
+    Uses Spark's native ``session_window`` (identical call under
+    readStream); the oracle reconstructs sessions with the classic
+    lag/gap/cumsum rewrite. Spark's session end = last event + gap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("stream_watermark_late")  # rows-only: semantics verified in streaming tests
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark view over tumbling windows (rows-only key).
+
+    Batch form: per-window counts plus a ``closed`` flag marking
+    windows a 10-minute watermark would have finalized at
+    end-of-stream. The actual late-drop semantics (an event >10 min
+    behind the watermark must not reopen a closed window) are
+    asserted with a manufactured late micro-batch in
+    tests/test_streaming.py — batch inputs have no arrival order, so
+    they cannot express it (sanctioned rows-only, SURVEY §2).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    win = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+    return win.crossJoin(F.broadcast(max_ts)).select(
+        "window_start",
+        "window_end",
+        "n_events",
+        (F.col("window_end") <= F.col("max_ts") - F.expr("INTERVAL 10 MINUTES")).alias(
+            "closed"
+        ),
+    )
+
+
+@query("stream_dedup_watermark")  # rows-only: duplicates manufactured in tests
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-event_id view (rows-only key).
+
+    Batch twin of ``dropDuplicatesWithinWatermark``: the fixture's
+    event_ids are unique, so the declared query deduplicates a
+    deliberately duplicated union (events ∪ events) and counts per
+    type — proving the dedup actually collapses. The stateful
+    watermark-bounded variant runs in tests/test_streaming.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT
+        event_id,
+        user_id,
+        ts,
+        count(*) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS purchase_seq
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user purchase counter — batch twin of the stateful op.
+
+    The streaming form keeps a per-user counter in the state store
+    (``transformWithStateInPandas`` / ``applyInPandasWithState``,
+    exercised in tests/test_streaming.py); the batch twin is the
+    cumulative window count, which is the oracle-checkable
+    equivalent (SURVEY §2.J).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("purchase_seq"),
+        )
+    )

@@ -1,0 +1,56 @@
+"""Parquet star-schema loader (fixtures profiled in SURVEY §1).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under the sf dir
+(TESTDATA.md:13-15). Schema-on-read from parquet footers; no custom
+schema layer (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_session_confs
+
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to always broadcast at any scale
+#: factor (region=5, nation=25 rows — fixed-size in TPC-H-like data).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as int64 ns (legacy.parquet.nanosAsLong):
+        # truncate to µs with integer div — double division would lose
+        # precision at 1e18 — matching DuckDB's ns→µs cast.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table lazily (scans are deferred until action)."""
+    ensure_session_confs(spark)
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
