@@ -22,6 +22,7 @@ from .operators import scans, projection, joins, aggregates, windows, sorts, set
 from .functions import scalars, udfs  # noqa: F401
 from .streaming import batch_windows  # noqa: F401
 from .llmops import dedup, similarity, text  # noqa: F401
+from .multimodal import ops as multimodal_ops  # noqa: F401
 
 __all__ = [
     "get_session",

@@ -91,6 +91,334 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents
+    ),
+    minh AS (
+        SELECT doc_id, i, min(md5(i || ':' || term)) AS h
+        FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+        GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, i // 4 AS band, md5(string_agg(h, '' ORDER BY i)) AS sig
+        FROM minh GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM cand JOIN t a ON a.doc_id = doc_a JOIN t b ON b.doc_id = doc_b
+    WHERE jaccard >= 0.95
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup join, exact-verified on candidates.
+
+    The full shingle→minhash→band→bucket-join pipeline expressed in
+    deterministic DataFrame ops (oracle-checkable, unlike MLlib's
+    ``MinHashLSH`` whose hash coefficients are seed-dependent):
+
+    1. minhash_i(doc) = min over tokens of ``md5(i || ':' || term)``
+       (string-min of a salted MD5 ≡ a random permutation per i);
+       16 hash functions from one shuffle on (doc_id, i).
+    2. band signature = md5 of the 4 minhashes in each of 4 bands;
+       docs sharing any band signature become candidate pairs —
+       at 100 TB this is the only pair-generating join and it is
+       keyed on (band, sig), linear in corpus size, never O(n²).
+    3. Exact token-set Jaccard recomputed on candidates only
+       (LSH proposes, exact verifies); threshold 0.95.
+
+    Recall vs the exact pairwise query is 1.0 at sf0.01 (measured;
+    asserted ≥0.9 in tests/test_scale_paths.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    toks = t.select("doc_id", F.explode("toks").alias("term"))
+    hash_ids = spark.range(16).select(F.col("id").cast("int").alias("i"))
+    minh = (
+        toks.crossJoin(F.broadcast(hash_ids))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("term")))
+            ).alias("h")
+        )
+    )
+    bands = (
+        minh.withColumn("band", F.expr("i div 4"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "h"))),
+                        lambda x: x["h"],
+                    ),
+                    "",
+                )
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.95)
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    bitacc AS (
+        SELECT doc_id, j,
+            sum(2 * ((strpos('0123456789abcdef',
+                             substr(md5(term), j // 4 + 1, 1)) - 1)
+                     // CAST(power(2, 3 - (j % 4)) AS INT) % 2) - 1) AS acc
+        FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+        GROUP BY doc_id, j
+    ),
+    fp AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY j) AS bits
+        FROM bitacc GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, bits, b AS band, substr(bits, b * 8 + 1, 8) AS sig
+        FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.bits AS bits_a, b.bits AS bits_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT doc_a, doc_b,
+               len(list_filter(generate_series(1, 32),
+                               i -> substr(bits_a, i, 1) <> substr(bits_b, i, 1)
+                   )) AS hamming
+        FROM cand
+    ) WHERE hamming <= 2
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit fingerprints, banded candidate join.
+
+    Classic Charikar simhash with a deterministic bit source (MD5
+    nibble bits — identical arithmetic in the DuckDB oracle):
+
+    1. per (doc, bit j): sum of ±1 over all tokens, + when bit j of
+       md5(term) is set; fingerprint bit = sign of the sum (tf-
+       weighted because duplicate tokens are NOT distinct here).
+    2. fingerprint = 32-char '0'/'1' string; banded into 4 bytes.
+       Candidates share ≥1 exact byte — the pigeonhole guarantee:
+       hamming ≤ 3 ⟹ at least one of 4 bands is identical, so the
+       bucket join (linear, keyed on (band, sig)) loses nothing at
+       the declared hamming ≤ 2 cut. Never O(n²) at 100 TB.
+    3. exact Hamming distance on candidates, keep ≤ 2.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    bit_ids = spark.range(32).select(F.col("id").cast("int").alias("j"))
+    bitacc = (
+        toks.crossJoin(F.broadcast(bit_ids))
+        .withColumn(
+            "nib",
+            F.expr("instr('0123456789abcdef', substr(md5(term), j div 4 + 1, 1)) - 1"),
+        )
+        .withColumn(
+            "bit", F.expr("(nib div cast(power(2, 3 - (j % 4)) as int)) % 2")
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.expr("2 * bit - 1")).alias("acc"))
+    )
+    fp = (
+        bitacc.select(
+            "doc_id", "j", F.when(F.col("acc") > 0, "1").otherwise("0").alias("c")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "c"))),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("bits")
+        )
+    )
+    band_ids = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    bands = fp.crossJoin(F.broadcast(band_ids)).select(
+        "doc_id", "bits", "band", F.expr("substr(bits, band * 8 + 1, 8)").alias("sig")
+    )
+    cand = (
+        bands.select(
+            F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"), "band", "sig"
+        )
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("bits").alias("bits_b"),
+                "band",
+                "sig",
+            ),
+            ["band", "sig"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "bits_a", "bits_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        "size(filter(sequence(1, 32), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1)))"
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= 2)
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, length(text) - 4),
+                   i -> substr(text, i, 5))) AS grams
+        FROM documents
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6
+               ) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.9
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by character-5-gram Jaccard ≥ 0.9, exact pairwise.
+
+    Character shingles catch reorder/suffix edits that token sets
+    miss; the token-set baseline saturates on this corpus's tiny
+    vocabulary while 5-grams isolate the 25 true near-dup pairs at
+    sf0.01 (measured). Exact O(n²) at oracle scale; at 100 TB the
+    same gram sets feed :func:`dedup_minhash_lsh`'s band join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+    )
+    t = d.select("doc_id", grams.alias("grams"))
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.9)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH de AS (
+        SELECT doc_id, lang, CAST(embedding AS DOUBLE[]) AS emb
+        FROM documents JOIN embeddings ON doc_id = vec_id
+    )
+    SELECT doc_a, doc_b, cosine, lang_a, lang_b,
+           CAST(lang_a = lang_b AS BOOLEAN) AS same_lang
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(list_dot_product(a.emb, b.emb), 6) AS cosine,
+               a.lang AS lang_a, b.lang AS lang_b
+        FROM de a JOIN de b ON a.doc_id < b.doc_id
+    ) WHERE cosine >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: document pairs with embedding cosine ≥ 0.45.
+
+    documents ⋈ embeddings (doc_id = vec_id) carries text metadata
+    alongside the vector; cosine ≡ dot product on the L2-normalized
+    embeddings. Threshold 0.45 fits the measured distribution (max
+    pairwise cosine 0.51 — the corpus embeddings are near-orthogonal,
+    so 14 pairs clear the cut at sf0.01). Exact pairwise at oracle
+    scale; the 100 TB path buckets by random-hyperplane signature
+    first (``sim_ann_lsh``) so only same-bucket pairs are scored.
+    """
+    from .similarity import dot
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    de = d.join(e, d.doc_id == e.vec_id).select("doc_id", "lang", "embedding")
+    a = de.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = de.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(dot(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+            "lang_a",
+            "lang_b",
+            (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+        )
+        .where(F.col("cosine") >= 0.45)
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,

@@ -166,6 +166,122 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_ann_lsh",
+    oracle="""
+    WITH proj AS (
+        SELECT j, d,
+               strpos('0123456789abcdef',
+                      substr(md5(j || ',' || d), 1, 1)) - 8.5 AS w
+        FROM (SELECT unnest(generate_series(0, 3)) AS j)
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+    ),
+    ex AS (
+        SELECT vec_id,
+               CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS d,
+               unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT vec_id, j, sum(v * w) AS acc
+        FROM ex JOIN proj USING (d) GROUP BY vec_id, j
+    ),
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY j) AS bucket
+        FROM sums GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT s.vec_id
+        FROM sig s JOIN (SELECT bucket FROM sig WHERE vec_id = 0) q USING (bucket)
+        WHERE s.vec_id <> 0
+    )
+    SELECT e.vec_id AS vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q0.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings e
+    JOIN cand USING (vec_id),
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 for vec_id=0 via random-hyperplane LSH buckets.
+
+    The scale path for :func:`sim_knn_cosine`, expressed with
+    deterministic hyperplanes so the DuckDB oracle reproduces it
+    bit-for-bit (MLlib's ``BucketedRandomProjectionLSH`` twin with
+    seeded randomness lives in :func:`lsh_ann_topk`):
+
+    1. 4 pseudo-random hyperplanes: weight(j, d) = first MD5 nibble
+       of ``j || ',' || d`` shifted to be symmetric around 0 — a
+       256-row broadcast table, never materialized per-vector.
+    2. bucket = 4 sign bits of the projections (16 buckets); the
+       index build is one pass + a tiny (vec_id, j) aggregation.
+    3. candidates = the query vector's bucket only (~1/16 of the
+       corpus); exact cosine re-ranks candidates, top-5.
+
+    At 100 TB the bucket column becomes the partition/cluster key,
+    so a query touches one partition instead of the full corpus —
+    the same IVF-style pruning this query demonstrates.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = (
+        spark.range(4)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.expr(
+                "instr('0123456789abcdef', substr(md5(concat(j, ',', d)), 1, 1)) - 8.5"
+            ).alias("w"),
+        )
+    )
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("d", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    sums = (
+        ex.join(F.broadcast(proj), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("acc"))
+    )
+    sig = (
+        sums.select(
+            "vec_id", "j", F.when(F.col("acc") > 0, "1").otherwise("0").alias("c")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "c"))),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("bucket")
+        )
+    )
+    qsig = sig.where(F.col("vec_id") == 0).select("bucket")
+    cand = (
+        sig.join(F.broadcast(qsig), "bucket")
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    q_emb = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        e.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q_emb))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 def lsh_ann_topk(
     spark: SparkSession,
     sf_dir: str,

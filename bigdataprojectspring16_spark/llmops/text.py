@@ -14,6 +14,19 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load_table
 
+#: Marker-stopword profiles for the n-gram/stopword language-ID
+#: heuristic. Real top-frequency function words per language; the
+#: classifier is honest even though this synthetic corpus's text is
+#: English-vocabulary for every `lang` label (measured), so the
+#: confusion matrix it emits mostly maps * -> 'en'.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist"],
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "los", "es"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "zh": ["的", "了", "是", "在", "我"],
+}
+
 
 @query(
     "text_lang_stats",
@@ -139,4 +152,245 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score"), 6).alias("tfidf"),
             "rank",
         )
+    )
+
+
+def _profile_values_sql() -> str:
+    """The LANG_PROFILES as a DuckDB VALUES relation (cand, words)."""
+    rows = ", ".join(
+        "('%s', [%s])" % (lang, ", ".join("'%s'" % w for w in words))
+        for lang, words in sorted(LANG_PROFILES.items())
+    )
+    return f"(VALUES {rows}) AS profiles(cand, words)"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, cand,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains(words, t))) AS hits
+        FROM documents CROSS JOIN {_profile_values_sql()}
+    ),
+    best AS (
+        SELECT doc_id, lang,
+               CASE WHEN hits = 0 THEN 'und' ELSE cand END AS predicted_lang
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY hits DESC, cand
+            ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT lang, predicted_lang, count(*) AS n_docs
+    FROM best GROUP BY lang, predicted_lang
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker vote, confusion matrix.
+
+    Every doc is scored against each language's marker-stopword
+    profile (hits = tokens found in the profile); the argmax (ties
+    broken alphabetically, zero hits -> 'und') is the prediction.
+    Output is the (true lang, predicted lang) confusion matrix. The
+    profile table is 5 rows — broadcast; scoring is one pass over
+    the corpus, shuffle only on the tiny (doc, cand) rank + final
+    count, so the shape holds at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    profiles = spark.createDataFrame(
+        [(lang, words) for lang, words in sorted(LANG_PROFILES.items())],
+        "cand string, words array<string>",
+    )
+    scored = (
+        d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("toks"))
+        .crossJoin(F.broadcast(profiles))
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            F.size(
+                F.filter("toks", lambda t: F.array_contains(F.col("words"), t))
+            ).alias("hits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.when(F.col("hits") == 0, "und")
+            .otherwise(F.col("cand"))
+            .alias("predicted_lang"),
+        )
+    )
+    return best.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH m AS (
+        SELECT
+            doc_id,
+            len(string_split(text, ' ')) AS n_tokens,
+            list_aggregate(list_transform(string_split(text, ' '),
+                                          t -> length(t)), 'sum') AS tok_chars,
+            length(text) AS n_chars,
+            length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+            length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+            len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        n_tokens,
+        round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS mean_token_len,
+        round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+        round(CAST(n_digits AS DOUBLE) / n_chars, 6) AS digit_ratio,
+        round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        round(
+            0.4 * least(1.0, n_tokens / 50.0)
+            + 0.3 * least(1.0, 4 * CAST(n_stop AS DOUBLE) / n_tokens)
+            + 0.2 * (1 - CAST(n_digits AS DOUBLE) / n_chars)
+            + 0.1 * (1 - CAST(n_punct AS DOUBLE) / n_chars),
+            6
+        ) AS quality_score
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals + composite score (Gopher-rule style).
+
+    Length (token count, saturating at 50), stopword density
+    (saturating at 25%), digit and punctuation ratios — the standard
+    cheap pre-filters an LLM-data pipeline applies before expensive
+    model scoring. Pure narrow-map over each doc: no shuffle at all,
+    embarrassingly parallel at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    n_chars = F.length("text")
+    n_digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is"))
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(dbl(tok_chars) / n_tokens, 6).alias("mean_token_len"),
+        F.round(dbl(n_stop) / n_tokens, 6).alias("stopword_ratio"),
+        F.round(dbl(n_digits) / n_chars, 6).alias("digit_ratio"),
+        F.round(dbl(n_punct) / n_chars, 6).alias("punct_ratio"),
+        F.round(
+            0.4 * F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+            + 0.3 * F.least(F.lit(1.0), 4 * dbl(n_stop) / n_tokens)
+            + 0.2 * (1 - dbl(n_digits) / n_chars)
+            + 0.1 * (1 - dbl(n_punct) / n_chars),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT
+        lang,
+        count(*) AS n_docs,
+        sum(len(string_split(text, ' '))) AS ws_tokens,
+        sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS re_tokens,
+        round(avg(len(string_split(text, ' '))), 4) AS avg_ws_tokens,
+        round(avg(CAST(length(text) AS DOUBLE)
+                  / len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))), 4
+        ) AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + BPE-style pre-tokenizer regex.
+
+    ``\\w+|[^\\w\\s]`` is the classic GPT-2-ish pre-tokenization
+    (word runs and isolated punctuation); chars-per-token is the
+    budget metric a training pipeline tracks. Narrow map + one
+    small per-lang aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    re_toks = F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(re_toks).alias("re_tokens"),
+        F.round(F.avg(ws), 4).alias("avg_ws_tokens"),
+        F.round(F.avg(F.length("text").cast("double") / re_toks), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 7)) AS i
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, i, md5(substr(text, i, 8)) AS h FROM grams
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               min(h) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+               ) AS fp
+        FROM hashed
+    )
+    SELECT doc_id,
+           count(DISTINCT fp) AS n_fingerprints,
+           min(fp) AS min_fingerprint
+    FROM winnowed GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 8-gram rolling hash + winnowing (w=4).
+
+    Schleimer/Wilkerson/Aiken winnowing: hash every 8-char gram
+    (MD5 as the rolling hash — deterministic and oracle-identical),
+    keep the minimum in each window of 4 consecutive gram hashes,
+    then the distinct kept hashes are the doc's fingerprint set.
+    Guarantees any shared substring ≥ 11 chars yields a shared
+    fingerprint. All work is partitioned by doc_id — the window
+    never crosses docs, so the op scales linearly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")
+        ).alias("pos", "gram"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    winnowed = grams.select("doc_id", F.min(F.md5("gram")).over(w).alias("fp"))
+    return winnowed.groupBy("doc_id").agg(
+        F.count_distinct(F.col("fp")).alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
     )

@@ -1,0 +1,247 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns flowing
+through ordinary relational plans; per-asset compute (decode,
+feature-extract, resize, frame-sample) runs as Arrow-batched
+``mapInPandas`` stages so the Python boundary is crossed once per
+batch, never per row.
+
+The image/audio libraries are not installed in this environment, so
+the *decode* step is stubbed: ``decode_images(..., real=True)``
+raises ``NotImplementedError`` unless PIL is importable, and the
+default deterministic fake derives (width, height, channels) from
+the payload bytes. Everything around the stub — schema, Arrow batch
+shape, partition-invariance — is real and tested
+(tests/test_multimodal.py).
+
+The fixtures ship no binary column, so :func:`with_binary_payload`
+manufactures one by UTF-8-encoding ``documents.text`` — byte-exact
+on both engines (``sha256(text)`` ≡ sha256 of the payload), which is
+what makes ``multimodal_binary_stats`` oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+#: Fixed feature dimension for the fake feature extractor.
+FEATURE_DIM = 16
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque ``payload: binary`` column + typed metadata.
+
+    Models how ingested assets look after a real fetch stage: raw
+    bytes plus a metadata struct the planner can prune/filter on
+    without touching the payload.
+    """
+    return docs.select(
+        "doc_id",
+        "source",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = (
+    "doc_id bigint, source string, n_bytes int, width int, height int, channels int"
+)
+
+
+def decode_images(assets: DataFrame, real: bool = False) -> DataFrame:
+    """Decode stage: payload bytes → (width, height, channels).
+
+    ``real=True`` requires PIL (not installed here → clearly-marked
+    ``NotImplementedError``); the default is a deterministic fake
+    that derives dimensions from the byte content, so the full
+    pipeline shape — Arrow batches in, typed rows out — is
+    exercised end to end.
+    """
+    if real:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env has no PIL
+            raise NotImplementedError(
+                "real image decode needs PIL, which is not installed; "
+                "use real=False for the deterministic fake decode"
+            ) from exc
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_bytes": n.astype("int32"),
+                    # fake decode: dimensions derived from content,
+                    # stable under any partitioning of the input.
+                    "width": (n % 640 + 16).astype("int32"),
+                    "height": ((n * 7 + first) % 480 + 16).astype("int32"),
+                    "channels": (first % 3 + 1).astype("int32"),
+                }
+            )
+
+    return assets.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id bigint, n_bytes int, mean_byte double, features array<double>"
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Feature-extract stage: byte histogram → FEATURE_DIM-dim vector.
+
+    Fully real (no stub): a 16-bin normalized byte histogram per
+    payload, the kind of cheap content signature a curation pipeline
+    computes before expensive model embedding. Vectorized NumPy over
+    Arrow batches.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float64")
+                total = max(1, len(arr))
+                out.append(
+                    (
+                        int(len(arr)),
+                        float(arr.mean()) if len(arr) else 0.0,
+                        (hist / total).round(6).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series([o[0] for o in out], dtype="int32"),
+                    "mean_byte": [o[1] for o in out],
+                    "features": [o[2] for o in out],
+                }
+            )
+
+    return assets.mapInPandas(feats, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, width int, height int, resized_bytes int"
+
+
+def resize_images(decoded: DataFrame, max_side: int = 64, real: bool = False) -> DataFrame:
+    """Resize stage (stubbed compute, real plumbing).
+
+    Scales (width, height) to fit ``max_side`` preserving aspect
+    ratio and reports the would-be payload size; the actual pixel
+    resample needs PIL (``real=True`` → NotImplementedError here).
+    """
+    if real:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "real resize needs PIL; use real=False for the metadata-only fake"
+            ) from exc
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            w = (pdf["width"] * scale).astype("int32").clip(lower=1)
+            h = (pdf["height"] * scale).astype("int32").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "resized_bytes": (w * h * pdf["channels"]).astype("int32"),
+                }
+            )
+
+    return decoded.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary"
+
+
+def sample_frames(assets: DataFrame, frame_size: int = 64, every: int = 4) -> DataFrame:
+    """Frame-sample stage: every ``every``-th fixed-size block.
+
+    Treats the payload as a frame sequence (as a video container
+    would be after demux) and emits every k-th frame — the 1:N
+    exploding mapInPandas shape (one asset row → many frame rows)
+    that a real video pipeline uses for keyframe extraction.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for k, off in enumerate(range(0, len(b), frame_size)):
+                    if k % every == 0:
+                        ids.append(doc_id)
+                        idxs.append(k)
+                        frames.append(bytes(b[off : off + frame_size]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": frames,
+                }
+            )
+
+    return assets.mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT
+        source,
+        count(*) AS n_assets,
+        sum(octet_length(encode(text))) AS total_bytes,
+        count(DISTINCT sha256(text)) AS distinct_payloads,
+        round(avg(octet_length(encode(text))), 4) AS avg_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column stats: the relational face of multimodal data.
+
+    Payloads stay opaque bytes; the query touches only cheap
+    byte-level properties (length, content digest) — exactly what a
+    100 TB asset catalog scan should do: no decode, pushdown-friendly
+    metadata aggregation partitioned by source.
+    """
+    assets = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return assets.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.count_distinct(F.sha2(F.col("payload"), 256)).alias("distinct_payloads"),
+        F.round(F.avg(F.length("payload")), 4).alias("avg_bytes"),
+    )
+
+
+@query("multimodal_features")  # rows-only: byte-histogram UDF isn't ANSI SQL
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Declared rows-only (the mapInPandas histogram has no SQL twin);
+    determinism and partition-invariance are asserted in
+    tests/test_multimodal.py instead.
+    """
+    assets = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(assets)

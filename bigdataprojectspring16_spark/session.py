@@ -46,6 +46,7 @@ _STARTUP_CONFS: dict[str, str] = {
     "spark.driver.memory": "8g",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
 }
 

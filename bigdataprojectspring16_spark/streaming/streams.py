@@ -1,0 +1,165 @@
+"""Category J — Structured Streaming forms of the windowing operators.
+
+Builders take a *streaming* DataFrame (``spark.readStream`` file
+source over the events schema) and return the transformed streaming
+frame; the calls are identical to the batch twins in
+``batch_windows.py`` — that identity is the point: one logical plan,
+micro-batch-incrementalized by the engine, with the state store
+(per-partition, per-executor) holding window/dedup/counter state and
+watermarks bounding its size.
+
+Verification strategy (tests/test_streaming.py): finite file-source
+replays with manufactured late/duplicate events drive each pipeline
+through ``processAllAvailable`` micro-batches and assert the
+semantics batch inputs cannot express — late-data drop, dedup within
+watermark, and cross-batch state continuity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: The events schema as the file stream source needs it declared
+#: up-front (streaming sources cannot infer schemas).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source event stream: each parquet file is a micro-batch."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``stream_tumbling`` + watermark for append mode."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming tumbling count per window (no key) — late-drop probe."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``stream_session`` (same session_window call)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``stream_dedup_watermark``.
+
+    State holds one entry per event_id until the watermark passes;
+    a duplicate arriving within the watermark is dropped, and state
+    never grows unboundedly — the property that makes exact dedup
+    feasible on an infinite stream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+#: Output schema of the stateful purchase counter.
+COUNTER_SCHEMA = "user_id bigint, event_id bigint, ts timestamp, purchase_seq bigint"
+#: State schema: one running count per user.
+COUNTER_STATE_SCHEMA = "n bigint"
+
+
+def stateful_purchase_counter(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``stream_stateful_counter``.
+
+    Arbitrary stateful processing via ``applyInPandasWithState``:
+    the per-user purchase count lives in the state store across
+    micro-batches. Within a batch, rows are ordered by (ts,
+    event_id) before numbering so replays are deterministic; across
+    batches the counter continues from state — asserted in
+    tests/test_streaming.py by feeding two batches for one user.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_purchases(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            seqs = range(n + 1, n + 1 + len(pdf))
+            n += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "ts": pdf["ts"],
+                    "purchase_seq": list(seqs),
+                }
+            )
+        state.update((n,))
+
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_purchases,
+            outputStructType=COUNTER_SCHEMA,
+            stateStructType=COUNTER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

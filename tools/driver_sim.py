@@ -48,8 +48,9 @@ def value_hash(rows, cols):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
+only = set(sys.argv[1:])
 fails, rows_only = [], []
-for name in sorted(queries):
+for name in sorted(only or queries):
     sdf = queries[name](spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = [f.name for f in sdf.schema.fields]
