@@ -257,8 +257,14 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explode tokens → global word count → deterministic top-20."""
-    from pyspark.sql import Window
+    """Explode tokens → global word count → deterministic top-20.
+
+    TakeOrdered(20) does the distributed top-k (per-partition heaps,
+    no global sort); the rank column is then a two-phase global rank
+    over the 20 surviving rows — no unpartitioned window anywhere
+    in the plan.
+    """
+    from ..plans.ranks import with_global_rank
 
     d = load_table(spark, sf_dir, "documents")
     counts = (
@@ -266,11 +272,10 @@ def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("word"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 20)
-    )
+    top20 = counts.orderBy(F.desc("n"), F.asc("word")).limit(20)
+    return with_global_rank(
+        top20, [F.desc("n"), F.asc("word")], rank_col="rank"
+    ).select("word", "n", "rank")
 
 
 @query(

@@ -9,9 +9,10 @@ asserted by tests/test_plan_shapes.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ranks import with_global_rank
 from ..registry import query
 from ..tables import load_table
 
@@ -33,19 +34,26 @@ from ..tables import load_table
     """,
 )
 def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key ASC/DESC sort frozen into data via row_number."""
+    """Multi-key ASC/DESC sort frozen into data via a global rank.
+
+    Uses the two-phase distributed rank (plans/ranks.py) instead of
+    an unpartitioned window: identical output (the key list ends in
+    a unique tiebreaker) without moving the table to one partition.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
-        F.asc("l_returnflag"),
-        F.desc("l_extendedprice"),
-        F.asc("l_orderkey"),
-        F.asc("l_linenumber"),
-    )
-    return (
-        li.where(F.col("l_shipdate") > F.lit("2001-06-01").cast("timestamp"))
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
-        .withColumn("sort_pos", F.row_number().over(w).cast("long"))
-    )
+    filtered = li.where(
+        F.col("l_shipdate") > F.lit("2001-06-01").cast("timestamp")
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    return with_global_rank(
+        filtered,
+        [
+            F.asc("l_returnflag"),
+            F.desc("l_extendedprice"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+        ],
+        rank_col="sort_pos",
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "sort_pos")
 
 
 @query(

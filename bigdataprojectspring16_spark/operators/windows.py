@@ -162,15 +162,35 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile + percent_rank + cume_dist of customers by balance.
 
-    Unpartitioned window — fine at customer-dimension cardinality;
-    for a 100 TB fact column the same statistic would come from
-    approx quantiles instead (documented trade-off).
+    Scale-safe form: the two-phase distributed rank (plans/ranks.py)
+    replaces the unpartitioned window, then ntile/percent_rank/
+    cume_dist are pure arithmetic on (rank, N) — exact because the
+    ordering (c_acctbal, c_custkey) is a total order, matching SQL
+    semantics tie-for-tie with the oracle's window functions:
+    ntile(4) fills the first N mod 4 tiles one row fuller;
+    percent_rank = (rank-1)/(N-1); cume_dist = rank/N.
     """
+    from ..plans.ranks import with_global_rank
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ranked = with_global_rank(
+        c.select("c_custkey", "c_acctbal"),
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        rank_col="rn",
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    rn, N = F.col("rn"), F.col("__n")
+    q, r = (N / 4).cast("long"), N % 4
+    in_full = rn <= r * (q + 1)
+    ntile4 = F.when(in_full, ((rn - 1) / (q + 1)).cast("long") + 1).otherwise(
+        r + ((rn - r * (q + 1) - 1) / q).cast("long") + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "c_custkey",
+            ntile4.cast("long").alias("balance_quartile"),
+            F.round((rn - 1) / (N - 1), 6).alias("pct_rank"),
+            F.round(rn / N, 6).alias("cume"),
+        )
     )

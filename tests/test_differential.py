@@ -1,0 +1,125 @@
+"""Property-based differential tests (SURVEY §5.2.2): Hypothesis
+generates small frames WITH nulls / empties / edge values — the
+things the fixtures lack (§1.2: zero nulls) — and every operator
+must agree between Spark and DuckDB on them.
+
+Covers: three-valued filter logic, null-skipping aggregates,
+null-key join semantics, DISTINCT over nulls.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from tests.conftest import _sorted_rows
+
+maybe_int = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+maybe_str = st.one_of(st.none(), st.sampled_from(["x", "xy", "abc", "", "xx"]))
+key = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+rows_strategy = st.lists(
+    st.tuples(key, maybe_int, maybe_str), min_size=0, max_size=25
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _both(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "a", "s"]).astype(
+        {"k": "Int64", "a": "Int64", "s": "object"}
+    )
+    sdf = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None),
+                                "k bigint, a bigint, s string")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return sdf, con
+
+
+def _compare(sdf_result, con, sql):
+    s_cols = sdf_result.columns
+    s_rows = [tuple(r) for r in sdf_result.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert _sorted_rows(s_cols, s_rows) == _sorted_rows(d_cols, d_rows)
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_filter_three_valued_logic(spark, rows):
+    """NULL comparisons are UNKNOWN; WHERE keeps only TRUE."""
+    sdf, con = _both(spark, rows)
+    from pyspark.sql import functions as F
+
+    out = sdf.where(
+        ((F.col("a") > 5) & F.col("s").isNotNull())
+        | F.col("s").like("x%")
+        | F.col("a").isNull()
+    )
+    _compare(
+        out,
+        con,
+        """SELECT * FROM t
+           WHERE (a > 5 AND s IS NOT NULL) OR s LIKE 'x%' OR a IS NULL""",
+    )
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_aggregates_skip_nulls_and_group_nulls_together(spark, rows):
+    sdf, con = _both(spark, rows)
+    from pyspark.sql import functions as F
+
+    out = sdf.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("a").alias("n_a"),          # null-skipping
+        F.sum("a").alias("sum_a"),          # null if all-null group
+        F.min("s").alias("min_s"),
+        F.count_distinct(F.col("s")).alias("nd_s"),
+    )
+    _compare(
+        out,
+        con,
+        """SELECT k, count(*) AS n_rows, count(a) AS n_a, sum(a) AS sum_a,
+                  min(s) AS min_s, count(DISTINCT s) AS nd_s
+           FROM t GROUP BY k""",
+    )
+
+
+@given(rows=rows_strategy, rows2=rows_strategy)
+@SLOW
+def test_left_join_null_keys_never_match(spark, rows, rows2):
+    sdf, con = _both(spark, rows)
+    pdf2 = pd.DataFrame(rows2, columns=["k", "b", "s2"]).astype(
+        {"k": "Int64", "b": "Int64", "s2": "object"}
+    )
+    sdf2 = spark.createDataFrame(
+        pdf2.astype(object).where(pdf2.notna(), None), "k bigint, b bigint, s2 string"
+    )
+    con.register("u", pdf2)
+    from pyspark.sql import functions as F
+
+    agg2 = sdf2.groupBy("k").agg(F.sum("b").alias("sum_b"))
+    out = sdf.join(agg2, "k", "left").select("k", "a", "s", "sum_b")
+    _compare(
+        out,
+        con,
+        """SELECT t.k AS k, a, s, sum_b
+           FROM t LEFT JOIN (SELECT k, sum(b) AS sum_b FROM u GROUP BY k) v
+           ON t.k = v.k""",
+    )
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_distinct_treats_nulls_as_one_group(spark, rows):
+    sdf, con = _both(spark, rows)
+    _compare(sdf.select("k", "s").distinct(), con, "SELECT DISTINCT k, s FROM t")

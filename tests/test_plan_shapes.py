@@ -1,0 +1,77 @@
+"""Plan-shape assertions (SURVEY §5.2.3): the physical plans the
+engine promises — pushdown reaching the parquet scan, broadcast
+where hinted, distributed top-k, and no all-to-one-partition window
+anywhere in the declared registry.
+
+These guard the 100 TB properties that correctness tests can't see:
+a query can hash-match the oracle while reading every column of
+every row through a single partition.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataprojectspring16_spark import QUERIES
+from bigdataprojectspring16_spark.operators import joins, scans, sorts
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = _physical(scans.scan_with_pushdown(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # the shipdate predicate itself is pushed, not just IsNotNull
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    plan = _physical(scans.scan_parquet(spark, SF_DIR))
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # only the 3 projected columns are read, not all 16 lineitem cols
+    assert "l_orderkey" in read_schema
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_broadcast_hint_produces_broadcast_join(spark):
+    plan = _physical(joins.join_broadcast(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_orderby_limit_is_take_ordered(spark):
+    plan = _physical(sorts.limit_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multiway_star_broadcasts_all_dims(spark):
+    """All small sides of the 6-way star join broadcast (no shuffle
+    exchange for nation/region/supplier at this scale)."""
+    plan = _physical(joins.join_multiway_star(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unpartitioned_window_in_any_declared_query(spark, name):
+    """No declared plan moves the whole input to a single partition
+    via an empty window partition spec (the WindowExec warning)."""
+    df = QUERIES[name](spark, SF_DIR)
+    plan = _optimized(df)
+    lowered = plan.lower()
+    # windowspecdefinition(partKey1, ..., orderKey1 ASC, ..., frame):
+    # if the FIRST argument already has a sort direction, the
+    # partition key list is empty -> all-to-one-partition window.
+    for chunk in lowered.split("windowspecdefinition(")[1:]:
+        first_arg = chunk.split(",", 1)[0]
+        assert " asc" not in first_arg and " desc" not in first_arg, (
+            f"{name}: window without partition keys: "
+            f"windowspecdefinition({chunk[:120]}"
+        )

@@ -1,0 +1,116 @@
+"""Scale-path equivalence tests (SURVEY §5.2.5).
+
+Every exact/declared operator with an approximate 100 TB path gets
+its approximation held to a measured accuracy bound against the
+exact result on the same data:
+
+- MLlib MinHashLSH candidate join vs exact pairwise Jaccard
+- the deterministic banded minhash (dedup_minhash_lsh) vs exact
+- BucketedRandomProjectionLSH ANN vs brute-force k-NN (recall@5)
+- the deterministic hyperplane-LSH (sim_ann_lsh) candidates ⊆ truth
+- approx_count_distinct vs exact countDistinct (rsd bound)
+- the algebraic geomean rewrite vs the pandas-UDAF geomean
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataprojectspring16_spark.llmops import dedup, similarity
+from bigdataprojectspring16_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_mllib_minhash_lsh_recall_vs_exact(spark):
+    exact = _pairs(dedup.dedup_near_jaccard(spark, SF_DIR))
+    approx = _pairs(dedup.minhash_lsh_pairs(spark, SF_DIR, threshold=0.95))
+    assert approx <= exact | approx  # sanity
+    # no false positives (exact Jaccard re-verified on candidates)
+    assert approx <= exact
+    if exact:
+        assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_banded_minhash_recall_vs_exact(spark):
+    exact = _pairs(dedup.dedup_near_jaccard(spark, SF_DIR))
+    banded = _pairs(dedup.dedup_minhash_lsh(spark, SF_DIR))
+    assert banded <= exact  # candidates are exact-verified
+    if exact:
+        assert len(banded & exact) / len(exact) >= 0.9
+
+
+def test_lsh_ann_recall_at_5_vs_brute_force(spark):
+    brute = [r.vec_id for r in similarity.sim_knn_cosine(spark, SF_DIR).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.lsh_ann_topk(spark, SF_DIR, query_ids=[0], k=5).collect()
+    ]
+    # multi-table random-projection LSH on near-orthogonal vectors:
+    # require real overlap with the true top-5
+    assert len(set(brute) & set(approx)) / len(brute) >= 0.6
+
+
+def test_hyperplane_lsh_candidates_are_true_cosines(spark):
+    """sim_ann_lsh re-ranks with EXACT cosine: every returned
+    (vec_id, cosine) must equal the brute-force cosine for that id."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    truth = {
+        r.vec_id: r.cosine
+        for r in e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                similarity.dot(F.col("embedding"), F.col("q_emb")), 6
+            ).alias("cosine"),
+        )
+        .collect()
+    }
+    for r in similarity.sim_ann_lsh(spark, SF_DIR).collect():
+        assert truth[r.vec_id] == r.cosine
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(3, 0.05 * r.exact)
+
+
+def test_geomean_algebraic_rewrite_equals_pandas_udaf(spark):
+    """exp(avg(ln(x))) — the partial-aggregable 100 TB form — agrees
+    with the grouped pandas UDAF to float tolerance."""
+    o = load_table(spark, SF_DIR, "orders")
+    algebraic = {
+        r.o_orderpriority: r.g
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.exp(F.avg(F.log("o_totalprice"))).alias("g"))
+        .collect()
+    }
+
+    from bigdataprojectspring16_spark.functions.udfs import geomean_udaf
+
+    udaf = {
+        r.o_orderpriority: r.g
+        for r in o.groupBy("o_orderpriority")
+        .agg(geomean_udaf(F.col("o_totalprice")).alias("g"))
+        .collect()
+    }
+    assert algebraic.keys() == udaf.keys()
+    for k in algebraic:
+        assert algebraic[k] == pytest.approx(udaf[k], rel=1e-9)
