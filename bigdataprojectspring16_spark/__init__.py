@@ -14,6 +14,7 @@ Public surface:
 """
 
 from .session import get_session
+from .sql import PORTABLE_SQL_KEYS, register_views
 from .tables import TABLE_NAMES, load_tables
 from .registry import QUERIES, ORACLES, query
 

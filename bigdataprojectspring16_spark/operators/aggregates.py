@@ -249,3 +249,130 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("revenue") > 5000000)
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50_price,
+        round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS p90_price,
+        round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6) AS p99_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) per priority.
+
+    ``percentile`` is the exact linear-interpolation form (matching
+    DuckDB ``quantile_cont``); at 100 TB the one-pass sketch twin is
+    ``approx_percentile(col, [...], accuracy)`` — same call shape,
+    mergeable partial state, covered by the approx-distinct pattern
+    already asserted in tests/test_scale_paths.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99_price"),
+    )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT
+        l_returnflag,
+        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        round(covar_pop(l_quantity, l_discount), 6) AS covar_qty_disc,
+        round(stddev_samp(l_extendedprice), 4) AS sd_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: corr, covariance, stddev.
+
+    All are algebraic aggregates (sum/sum-of-products moments) —
+    partial+final two-phase under the hood, no extra pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT
+        r_name,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg parity).
+
+    Deterministic because the aggregation sorts within each group;
+    group payloads are bounded (nations per region), so the collect
+    never concentrates unbounded data on one key.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        count(*) FILTER (o_totalprice > 200000) AS n_big,
+        count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+        round(sum(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                       THEN o_totalprice ELSE 0 END), 2) AS high_prio_value,
+        round(avg(CASE WHEN o_totalprice > 200000 THEN o_totalprice END), 4
+        ) AS avg_big
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if / filtered sums / null-skip avg."""
+    o = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(big).alias("n_big"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").like("1%")
+                    | F.col("o_orderpriority").like("2%"),
+                    F.col("o_totalprice"),
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("high_prio_value"),
+        F.round(F.avg(F.when(big, F.col("o_totalprice"))), 4).alias("avg_big"),
+    )

@@ -393,3 +393,43 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
     )
+
+
+@query(
+    "join_skew_events_customers",
+    oracle="""
+    SELECT
+        n_name,
+        count(*) AS n_events,
+        round(sum(value), 4) AS sum_value,
+        count(DISTINCT user_id) AS n_users
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_skew_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-shaped join: events hit only the first 10% of customer
+    keys (SURVEY §1.3), so a plain shuffle join would funnel all event
+    rows into a sliver of the key space. Two scale levers, both used:
+    the customer⋈nation dim chain broadcasts (no shuffle at all on the
+    skewed side here), and AQE's OptimizeSkewedJoin (enabled in the
+    session factory) splits oversized partitions at runtime when the
+    fact side does shuffle on a real cluster.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    return (
+        ev.join(F.broadcast(dims), ev.user_id == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
