@@ -334,3 +334,78 @@ def lsh_ann_topk(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Scale path: IVF (inverted-file) approximate k-NN.
+
+    The second standard ANN architecture next to LSH
+    (:func:`sim_ann_lsh`): a seeded k-means coarse quantizer
+    partitions the corpus into ``n_cells`` Voronoi cells; a query
+    scores only the vectors in its ``n_probe`` nearest cells, then
+    exact cosine re-ranks. At 100 TB the cell id becomes the
+    partition key, so a probe touches n_probe/n_cells of the data.
+    Held to recall@k against brute force in tests/test_scale_paths.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector(F.col("embedding"))
+    )
+    km = KMeans(k=n_cells, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(e)
+    assigned = model.transform(e).select("vec_id", "embedding", "cell")
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    queries = assigned.where(F.col("vec_id").isin(query_ids or [0])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # rank cells per query by centroid distance, keep n_probe
+    from pyspark.sql import Window
+
+    q_cells = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    "q_emb", "centroid", lambda x, y: (x.cast("double") - y) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist2", "cell")
+            ),
+        )
+        .where(F.col("cell_rank") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    cand = assigned.join(q_cells, "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(dot(F.col("embedding"), F.col("q_emb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

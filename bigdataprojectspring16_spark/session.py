@@ -47,6 +47,9 @@ _STARTUP_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # Bucketed-table warehouse for the co-located-join path
+    # (tests/test_bucketing.py); kept out of the repo tree.
+    "spark.sql.warehouse.dir": "/tmp/spark-graft-warehouse",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
 }
 

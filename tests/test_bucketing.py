@@ -1,0 +1,83 @@
+"""Bucketed co-located joins: the write-once/shuffle-never contract.
+
+orders and lineitem are bucketed on the join key with the same
+bucket count; the join plan must then contain NO shuffle exchange on
+either side (bucketing IS the exchange, paid once at write time).
+This is the canonical 100 TB lever for repeated fact⋈fact joins.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataprojectspring16_spark.sources.sinks import write_bucketed_table
+from bigdataprojectspring16_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    write_bucketed_table(
+        load_table(spark, SF_DIR, "orders"),
+        "b_orders",
+        ["o_orderkey"],
+        num_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        load_table(spark, SF_DIR, "lineitem"),
+        "b_lineitem",
+        ["l_orderkey"],
+        num_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed join still shuffles:\n" + plan[:800]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_results_match_unbucketed(spark, bucketed):
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    expect = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    got = (
+        spark.table("b_orders")
+        .join(spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    assert sorted(map(tuple, expect.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_groupby_on_bucket_key_avoids_shuffle(spark, bucketed):
+    """Aggregation keyed on the bucket column also reuses the
+    write-time partitioning (no exchange before the final agg)."""
+    agg = spark.table("b_lineitem").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:800]

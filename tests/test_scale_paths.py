@@ -114,3 +114,14 @@ def test_geomean_algebraic_rewrite_equals_pandas_udaf(spark):
     assert algebraic.keys() == udaf.keys()
     for k in algebraic:
         assert algebraic[k] == pytest.approx(udaf[k], rel=1e-9)
+
+
+def test_ivf_ann_recall_at_5_vs_brute_force(spark):
+    brute = [r.vec_id for r in similarity.sim_knn_cosine(spark, SF_DIR).collect()]
+    approx = [
+        r.vec_id
+        for r in similarity.ivf_ann_topk(
+            spark, SF_DIR, query_ids=[0], k=5, n_cells=8, n_probe=4
+        ).collect()
+    ]
+    assert len(set(brute) & set(approx)) / len(brute) >= 0.6

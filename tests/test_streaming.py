@@ -175,3 +175,43 @@ def test_session_window_streaming(spark):
         assert start1 == T0 + dt.timedelta(minutes=60)
     finally:
         r.stop()
+
+
+def test_parquet_sink_with_checkpoint_restart_no_duplicates(spark):
+    """File sink + checkpoint: stop the query mid-stream, restart it
+    with the same checkpoint, feed more data — every input row lands
+    exactly once (the committed-batch log prevents reprocessing)."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="sink-src-")
+    chk = tempfile.mkdtemp(prefix="sink-chk-")
+    out = tempfile.mkdtemp(prefix="sink-out-")
+
+    def start():
+        stream = streams.read_event_stream(spark, src)
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+
+    def feed(rows):
+        df = spark.createDataFrame(rows, streams.EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    q = start()
+    try:
+        feed([_mk(0, 1), _mk(1, 2)])
+        q.processAllAvailable()
+        q.stop()
+        q = start()  # restart from the same checkpoint
+        feed([_mk(2, 3)])
+        q.processAllAvailable()
+        ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+        assert ids == [1, 2, 3]  # no batch replayed, none lost
+    finally:
+        q.stop()
+        for d in (src, chk, out):
+            shutil.rmtree(d, ignore_errors=True)
