@@ -19,7 +19,7 @@ from .tables import TABLE_NAMES, load_tables
 from .registry import QUERIES, ORACLES, query
 
 # Importing the operator modules populates the registry.
-from .operators import scans, projection, joins, aggregates, windows, sorts, setops  # noqa: F401
+from .operators import scans, projection, joins, aggregates, windows, sorts, setops, analytics  # noqa: F401
 from .functions import scalars, udfs  # noqa: F401
 from .streaming import batch_windows  # noqa: F401
 from .llmops import dedup, similarity, text  # noqa: F401

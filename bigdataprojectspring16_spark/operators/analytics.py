@@ -1,0 +1,141 @@
+"""Event-analytics composites: funnel + retention cohorts.
+
+The capstone shapes of a big-data analytics project (the reference's
+genre, SURVEY §0): multi-stage behavioral queries composed purely
+from the relational operators the engine already has — conditional
+aggregation, self-referencing joins on per-user anchors, and
+day-bucketed time arithmetic. Everything stays two-phase-aggregable
+and shuffle-keyed on user_id / day, so the shapes hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cl AS (
+        SELECT e.user_id, min(ts) AS click_ts
+        FROM events e JOIN su USING (user_id)
+        WHERE event_type = 'click' AND ts >= signup_ts
+        GROUP BY e.user_id
+    ),
+    pu AS (
+        SELECT e.user_id, min(ts) AS purchase_ts
+        FROM events e JOIN cl USING (user_id)
+        WHERE event_type = 'purchase' AND ts >= click_ts
+        GROUP BY e.user_id
+    )
+    SELECT
+        (SELECT count(*) FROM su) AS n_signup,
+        (SELECT count(*) FROM cl) AS n_click_after_signup,
+        (SELECT count(*) FROM pu) AS n_purchase_after_click,
+        round((SELECT count(*) FROM pu)
+              / CAST((SELECT count(*) FROM su) AS DOUBLE), 6) AS conversion
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-stage behavioral funnel: signup → first click → purchase.
+
+    Each stage anchors on the previous stage's per-user timestamp
+    (min signup, then min click ≥ it, then min purchase ≥ that), so
+    ordering is enforced, not just co-occurrence. Three keyed
+    aggregations + two equi-joins on user_id; the final counts are
+    single-row global aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    cl = (
+        ev.join(su, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") >= F.col("signup_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    pu = (
+        ev.join(cl, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("click_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    n_su = su.agg(F.count(F.lit(1)).alias("n_signup"))
+    n_cl = cl.agg(F.count(F.lit(1)).alias("n_click_after_signup"))
+    n_pu = pu.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return (
+        n_su.crossJoin(n_cl)
+        .crossJoin(n_pu)
+        .select(
+            "n_signup",
+            "n_click_after_signup",
+            "n_purchase_after_click",
+            F.round(
+                F.col("n_purchase_after_click")
+                / F.col("n_signup").cast("double"),
+                6,
+            ).alias("conversion"),
+        )
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+        FROM events
+    )
+    SELECT
+        cohort_day,
+        date_diff('day', cohort_day, active_day) AS day_offset,
+        count(*) AS n_users
+    FROM activity JOIN firstday USING (user_id)
+    WHERE date_diff('day', cohort_day, active_day) <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users active N days after first seen.
+
+    Cohort = each user's first active day; one distinct-activity
+    aggregation + a join back on user_id; the result is bounded by
+    (days × offsets), independent of event volume. Two cross-engine
+    hazards handled (SURVEY §5.3): datediff argument order is
+    (end, start) in Spark vs (unit, start, end) in DuckDB, and
+    day-truncation yields TIMESTAMP in Spark but DATE in DuckDB —
+    ``to_date`` aligns the output type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    firstday = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(firstday, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
