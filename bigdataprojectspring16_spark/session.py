@@ -42,7 +42,9 @@ ENGINE_CONFS: dict[str, str] = {
 #: session (tests / bench). On a real cluster these come from
 #: spark-submit; sized here for local[32] with 128 GiB.
 _STARTUP_CONFS: dict[str, str] = {
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     "spark.driver.memory": "8g",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
