@@ -194,3 +194,42 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rn / N, 6).alias("cume"),
         )
     )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT
+        event_id,
+        user_id,
+        first_value(event_type) OVER w AS first_type,
+        last_value(event_type) OVER w AS latest_type,
+        nth_value(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicit frame.
+
+    The growing frame (unbounded preceding → current row) makes
+    last_value the running latest event and nth_value(2) the
+    second-ever event per user — all computed in one partitioned
+    sort, no self-joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("latest_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )

@@ -125,3 +125,20 @@ def test_ivf_ann_recall_at_5_vs_brute_force(spark):
         ).collect()
     ]
     assert len(set(brute) & set(approx)) / len(brute) >= 0.6
+
+
+def test_approx_percentile_within_accuracy_of_exact(spark):
+    """The one-pass mergeable percentile sketch (the 100 TB twin of
+    agg_percentiles) lands within its accuracy bound of the exact
+    interpolated percentile."""
+    o = load_table(spark, SF_DIR, "orders")
+    rows = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx_p50"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx_p50 - r.exact_p50) / r.exact_p50 < 0.05

@@ -215,3 +215,47 @@ def test_parquet_sink_with_checkpoint_restart_no_duplicates(spark):
         q.stop()
         for d in (src, chk, out):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
+    """The Spark 4 transformWithStateInPandas API and the
+    applyInPandasWithState API produce identical counters on the
+    same two-batch replay (cross-batch state in both).
+
+    transformWithState's state server speaks protobuf; this
+    environment ships a broken google.protobuf (no descriptor
+    module), so the test skips where the import fails rather than
+    misreporting an engine bug (the implementation under test is
+    streams.stateful_purchase_counter_tws).
+    """
+    pytest.importorskip("google.protobuf.descriptor")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batches = [
+            [_mk(0, 1), _mk(1, 2)],
+            [_mk(2, 3), _mk(3, 4, user_id=2)],
+        ]
+        results = {}
+        for name, build in (
+            ("aip", streams.stateful_purchase_counter),
+            ("tws", streams.stateful_purchase_counter_tws),
+        ):
+            r = Replay(spark, name, build, "update")
+            try:
+                for b in batches:
+                    r.feed(b)
+                results[name] = {
+                    row.event_id: row.purchase_seq for row in r.table().collect()
+                }
+            finally:
+                r.stop()
+        assert results["aip"] == results["tws"] == {1: 1, 2: 2, 3: 3, 4: 1}
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
