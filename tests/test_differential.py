@@ -123,3 +123,45 @@ def test_left_join_null_keys_never_match(spark, rows, rows2):
 def test_distinct_treats_nulls_as_one_group(spark, rows):
     sdf, con = _both(spark, rows)
     _compare(sdf.select("k", "s").distinct(), con, "SELECT DISTINCT k, s FROM t")
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_window_sum_and_row_number_with_null_ordering(spark, rows):
+    """Window functions on null-bearing keys: Spark orders NULLS
+    FIRST ascending by default, DuckDB NULLS LAST — pinned explicitly
+    on both sides so the frames agree (the hazard this engine's
+    declared queries avoid by never ordering on nullable keys)."""
+    sdf, con = _both(spark, rows)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("k").orderBy(
+        F.col("a").asc_nulls_first(), F.col("s").asc_nulls_first()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = sdf.select(
+        "k",
+        "a",
+        "s",
+        F.sum("a").over(w).alias("run_a"),
+        F.row_number()
+        .over(
+            Window.partitionBy("k").orderBy(
+                F.col("a").asc_nulls_first(), F.col("s").asc_nulls_first()
+            )
+        )
+        .alias("rn"),
+    )
+    _compare(
+        out,
+        con,
+        """SELECT k, a, s,
+                  sum(a) OVER (PARTITION BY k
+                               ORDER BY a ASC NULLS FIRST, s ASC NULLS FIRST
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS run_a,
+                  row_number() OVER (PARTITION BY k
+                                     ORDER BY a ASC NULLS FIRST,
+                                              s ASC NULLS FIRST) AS rn
+           FROM t""",
+    )
