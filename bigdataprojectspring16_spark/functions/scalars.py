@@ -386,3 +386,54 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0).cast("long")).alias(t) for t in types],
     )
+
+
+@query(
+    "array_hof",
+    oracle="""
+    WITH t AS (
+        SELECT lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    per_doc AS (
+        SELECT
+            lang,
+            len(list_filter(toks, t -> length(t) > 6)) AS n_long,
+            len(list_filter(toks, t -> t = 'vector')) > 0 AS has_marker,
+            len(list_filter(toks, t -> NOT length(t) > 0)) = 0 AS all_nonempty,
+            list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                AS total_tok_chars
+        FROM t
+    )
+    SELECT
+        lang,
+        sum(n_long) AS long_tokens,
+        count(*) FILTER (has_marker) AS docs_with_marker,
+        CAST(min(CAST(all_nonempty AS INT)) AS BOOLEAN) AS every_doc_clean,
+        sum(total_tok_chars) AS total_chars
+    FROM per_doc GROUP BY lang
+    """,
+)
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: filter / exists / forall /
+    transform / aggregate (reduce) — all JVM-side lambda expressions,
+    no Python. Per-doc narrow maps followed by one keyed aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per_doc = d.select(
+        "lang",
+        F.size(F.filter(toks, lambda t: F.length(t) > 6)).alias("n_long"),
+        F.exists(toks, lambda t: t == "vector").alias("has_marker"),
+        F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+        ).alias("total_tok_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_long").alias("long_tokens"),
+        F.count_if(F.col("has_marker")).alias("docs_with_marker"),
+        F.min(F.col("all_nonempty").cast("int")).cast("boolean").alias(
+            "every_doc_clean"
+        ),
+        F.sum("total_tok_chars").alias("total_chars"),
+    )

@@ -259,3 +259,38 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_static_join_enriches_each_batch(spark):
+    """Stream-static join: the streaming side joins a static dim
+    (broadcast, re-read per micro-batch) — the standard enrichment
+    shape; rows join correctly across multiple batches."""
+    from bigdataprojectspring16_spark.tables import load_table
+
+    dim = (
+        load_table(spark, "/root/testdata/sf0.001", "customer")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+    def build(stream):
+        return (
+            stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    r = Replay(spark, "enrich", build, "complete")
+    try:
+        r.feed([_mk(0, 1, user_id=1), _mk(1, 2, user_id=2)])
+        r.feed([_mk(2, 3, user_id=1)])
+        got = {row.c_mktsegment: row.n for row in r.table().collect()}
+        expect = {}
+        seg = {
+            row.c_custkey: row.c_mktsegment
+            for row in dim.where(F.col("c_custkey").isin([1, 2])).collect()
+        }
+        for uid in (1, 2, 1):
+            expect[seg[uid]] = expect.get(seg[uid], 0) + 1
+        assert got == expect
+    finally:
+        r.stop()
