@@ -437,3 +437,43 @@ def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("total_tok_chars").alias("total_chars"),
     )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT
+            c_mktsegment,
+            CAST(count(*) AS DOUBLE) AS n_orders,
+            round(sum(o_totalprice), 2) AS sum_price,
+            round(avg(o_totalprice), 2) AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (n_orders, sum_price, avg_price))
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide per-segment metric columns to long
+    (segment, metric, value) rows — the inverse of
+    ``pivot_event_types``. ``DataFrame.unpivot`` is a narrow
+    expression-level expansion (each row emits 3), so it adds no
+    shuffle beyond the aggregation that built the wide frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+    return wide.unpivot(
+        ["c_mktsegment"], ["n_orders", "sum_price", "avg_price"],
+        "metric", "value",
+    )

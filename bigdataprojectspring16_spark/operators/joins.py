@@ -433,3 +433,40 @@ def join_skew_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (SELECT nullif(c_nationkey, 0) AS c_nk, c_acctbal
+               FROM customer),
+         s AS (SELECT nullif(s_nationkey, 0) AS s_nk FROM supplier)
+    SELECT c_nk, count(*) AS n_pairs, round(sum(c_acctbal), 2) AS sum_bal
+    FROM c JOIN s ON c_nk IS NOT DISTINCT FROM s_nk
+    GROUP BY c_nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM).
+
+    NULLs are manufactured via ``nullif(nationkey, 0)`` on both sides
+    (fixtures have no natural nulls); null-safe semantics make the
+    NULL keys match each other, unlike a plain equi join which drops
+    them. ``EqualNullSafe`` is still a hash-join key for Catalyst
+    (NULL hashes like any value), so this plans as a broadcast-hash
+    join on the 100-row supplier side — no cartesian, scale-safe.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("c_nk"), "c_acctbal"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(0)).alias("s_nk")
+    )
+    return (
+        c.join(F.broadcast(s), c.c_nk.eqNullSafe(s.s_nk))
+        .groupBy("c_nk")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )

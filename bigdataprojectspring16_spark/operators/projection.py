@@ -98,3 +98,33 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(d.isNull(), 1)).alias("n_zero_discount"),
         F.round(F.sum(F.coalesce(d, F.lit(0.0))), 6).alias("sum_discount"),
     )
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_above_avg
+    FROM orders o
+    WHERE o_totalprice > (SELECT avg(o2.o_totalprice)
+                          FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+      AND EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0.0)
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + correlated EXISTS, run through
+    ``spark.sql`` on the registered views — the IDENTICAL string is
+    the DuckDB oracle (portable ANSI), proving the dual SQL surface.
+
+    Catalyst decorrelates both: the scalar subquery becomes an
+    aggregate + equi-join on o_custkey, EXISTS becomes a left-semi
+    join — all shuffle-partitioned, no per-row re-execution, so the
+    shape survives 100 TB (one shuffle per subquery, AQE-sized).
+    """
+    from ..registry import ORACLES
+    from ..sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ORACLES["subquery_correlated"])

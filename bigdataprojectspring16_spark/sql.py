@@ -72,6 +72,7 @@ PORTABLE_SQL_KEYS: list[str] = [
     "sort_multikey",
     "stream_session",
     "stream_stateful_counter",
+    "subquery_correlated",
     "stream_tumbling",
     "udaf_geomean",
     "window_ntile_percent",
