@@ -465,3 +465,71 @@ def minhash_lsh_pairs(
         "doc_b",
         F.round(inter.cast("double") / union, 6).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_distinct(list_transform(
+                   generate_series(1, length(text) - 4),
+                   i -> substr(text, i, 5))) AS grams
+        FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.text AS ta, b.text AS tb
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.9
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(ta, tb) AS edit_dist,
+           round(levenshtein(ta, tb)
+                 / CAST(greatest(length(ta), length(tb)) AS DOUBLE), 6)
+               AS rel_dist
+    FROM cand
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-exact near-dup verification: Levenshtein distance on
+    shingle-candidate pairs (5-gram Jaccard ≥ 0.9, same predicate as
+    ``dedup_ngram_jaccard``), absolute and relative to the longer doc.
+
+    Edit distance is O(len²) per pair — never run it all-pairs. The
+    cheap set-similarity stage prunes n² down to the ~25 true
+    candidates first (at 100 TB: the LSH band join), and the JVM
+    ``levenshtein`` runs only on survivors. This candidates→expensive-
+    verify split is the canonical two-stage dedup topology.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+    )
+    t = d.select("doc_id", "text", grams.alias("grams"))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        F.col("grams").alias("grams_a"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        F.col("grams").alias("grams_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(inter.cast("double") / union >= 0.9)
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("edit_dist"),
+            F.round(
+                lev / F.greatest(F.length("ta"), F.length("tb")).cast("double"), 6
+            ).alias("rel_dist"),
+        )
+    )

@@ -376,3 +376,83 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("high_prio_value"),
         F.round(F.avg(F.when(big, F.col("o_totalprice"))), 4).alias("avg_big"),
     )
+
+
+@query(
+    "agg_max_by",
+    oracle="""
+    SELECT
+        c_mktsegment,
+        max_by(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey) AS top_orderkey,
+        round(max(o_totalprice), 2) AS max_price,
+        min_by(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey) AS bottom_orderkey,
+        round(min(o_totalprice), 2) AS min_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation: the orderkey of each segment's most
+    and least expensive order via ``max_by``/``min_by`` — a single
+    two-phase aggregate, no window + filter round-trip.
+
+    ``max_by`` is non-deterministic under ties, so the ordering value
+    is a tie-free encoding: price in integer cents scaled past the key
+    range, plus the orderkey itself (cents ≲ 6e7, ×1e7 + key < 2^53 —
+    exact in both engines' arithmetic). Deterministic argmax under
+    ties is a real 100 TB concern: a plain max_by(key, price) gives
+    partition-order-dependent answers.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rank = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000
+        + F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", rank).alias("top_orderkey"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.min_by("o_orderkey", rank).alias("bottom_orderkey"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+    )
+
+
+@query(
+    "agg_histogram_bins",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS bin_min,
+           round(max(o_totalprice), 2) AS bin_max
+    FROM orders
+    GROUP BY bin
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: order values bucketed into $50k bins.
+
+    The binning expression ``floor(x / width)`` is plain double
+    arithmetic — identical in any engine, foldable into the scan
+    projection, and a two-phase aggregate thereafter (the shuffle
+    carries ~12 bins × partitions, nothing else). The equal-depth
+    (quantile) twin is ``agg_percentiles`` / ``window_ntile_percent``.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )

@@ -139,3 +139,110 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.day, t.event_type, coalesce(d.n, 0) AS n_events
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: a generated day spine ×
+    event types, left-joined to daily counts, missing buckets = 0 —
+    the standard densify step before any rolling/window computation
+    (a window over sparse days silently skips gaps).
+
+    The spine comes from ``sequence(min_day, max_day)`` + ``explode``
+    — generated from one global min/max aggregate, so it is days-sized
+    regardless of event volume; Catalyst broadcasts spine×types onto
+    the (already aggregated, days×types-sized) daily counts. At 100 TB
+    the only big-data stage is the daily pre-aggregation, one
+    two-phase shuffle on (day, type).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = (
+        ev.groupBy(day.alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
+
+
+@query(
+    "tpch_q3_topk",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped orders of one
+    segment by outstanding revenue — selective filters on both fact
+    tables, a 3-way join, grouped revenue, sorted limit.
+
+    The tie-break on (o_orderdate, l_orderkey) makes the top-10 *set*
+    deterministic, not just the ordering — LIMIT after ORDER BY on a
+    non-unique sort key returns an engine-dependent row choice
+    otherwise. Spark executes the limit as TakeOrderedAndProject:
+    per-partition top-10 heaps, then a driver-side merge of 10·P rows
+    — no global sort materialization at 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

@@ -47,3 +47,41 @@ def scan_with_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_shipdate") <= F.lit("1996-01-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_shipdate")
     )
+
+
+@query(
+    "sample_hash_mod",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority, o_totalprice
+        FROM orders
+        WHERE (o_orderkey * 2654435761) % 97 < 5
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_sampled,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM s GROUP BY o_orderpriority
+    """,
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample via multiplicative key hashing
+    (Knuth's 2654435761), then an aggregate over the sample.
+
+    ``df.sample()`` is seed×partitioning dependent — useless for a
+    reproducible-pipeline contract. Hashing the key with pure BIGINT
+    arithmetic gives the identical sample in any engine, any partition
+    layout, any cluster size (max key 6e6 × 2.65e9 ≈ 1.6e16, well
+    inside int64). The predicate is Catalyst-foldable and evaluated
+    at the scan, so at 100 TB the sample costs one pass, no shuffle
+    beyond the final tiny aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    keep = (F.col("o_orderkey") * F.lit(2654435761)) % 97 < 5
+    return (
+        o.where(keep)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

@@ -8,7 +8,7 @@ Catalyst.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -116,4 +116,40 @@ def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderpriority")
         .distinct()
+    )
+
+
+@query(
+    "dedup_latest_by_key",
+    oracle="""
+    SELECT user_id, event_type, ts, value FROM (
+        SELECT user_id, event_type, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (CDC/upsert collapse): keep
+    each (user, event_type)'s most recent event, tie-broken on the
+    unique event_id so the survivor is deterministic —
+    ``dropDuplicates`` keeps an arbitrary row and would flap between
+    runs/partitionings.
+
+    One window over the shuffle key (user_id, event_type): a single
+    hash-partitioned sort, no join. At 100 TB this is the standard
+    log-compaction shape; the same plan incrementalizes as
+    streaming ``dropDuplicates`` within watermark per key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "value")
     )

@@ -38,8 +38,11 @@ PORTABLE_SQL_KEYS: list[str] = [
     "agg_global",
     "agg_grouping_sets",
     "agg_having",
+    "agg_histogram_bins",
+    "agg_max_by",
     "agg_pricing_summary",
     "agg_rollup",
+    "dedup_latest_by_key",
     "distinct_exact",
     "filter_compound",
     "filter_null_semantics",
@@ -63,6 +66,7 @@ PORTABLE_SQL_KEYS: list[str] = [
     "project_compute",
     "scalar_conditional",
     "scalar_math",
+    "sample_hash_mod",
     "scan_parquet",
     "scan_with_pushdown",
     "set_except",
@@ -74,6 +78,7 @@ PORTABLE_SQL_KEYS: list[str] = [
     "stream_stateful_counter",
     "subquery_correlated",
     "stream_tumbling",
+    "tpch_q3_topk",
     "udaf_geomean",
     "window_ntile_percent",
     "window_range_frame",

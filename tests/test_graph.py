@@ -1,0 +1,71 @@
+"""Connected-components loop correctness (llmops/graph.py).
+
+The driver-sim differential (WITH RECURSIVE oracle) covers the
+documents-table query; these tests pin the propagation loop itself on
+adversarial synthetic graphs the near-dup corpus never produces —
+long chains (diameter ≫ 1 forces multiple iterations) and label
+flow *against* the edge direction symmetrization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataprojectspring16_spark.llmops.graph import (
+    connected_components,
+    graph_connected_components,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _cc(spark, edge_pairs, n_nodes):
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    e = spark.createDataFrame(edge_pairs, "src long, dst long")
+    e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    out = connected_components(nodes, e)
+    return {r.node: r.component for r in out.collect()}
+
+def test_chain_converges_to_min_label(spark):
+    # 0-1-2-3-4 chain plus isolated 5: diameter 4 needs >1 iteration.
+    got = _cc(spark, [(0, 1), (1, 2), (2, 3), (3, 4)], 6)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5}
+
+def test_min_label_flows_upstream(spark):
+    # Edges all point toward the minimum: 4->3->2->1->0. The
+    # symmetrized pass must still pull label 0 back up the chain.
+    got = _cc(spark, [(4, 3), (3, 2), (2, 1), (1, 0)], 5)
+    assert set(got.values()) == {0}
+
+def test_two_components_and_self_loop(spark):
+    got = _cc(spark, [(0, 1), (2, 2), (3, 4), (4, 5)], 6)
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 3}
+
+def test_documents_clusters_match_pair_closure(spark):
+    """Every near-dup pair's endpoints share a component, and each
+    reported cluster size ≥ 2 is consistent with the pair graph."""
+    from bigdataprojectspring16_spark.llmops.dedup import dedup_near_jaccard
+
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_near_jaccard(spark, SF_DIR).collect()]
+    out = graph_connected_components(spark, SF_DIR).collect()
+    sizes = {r.comp_id: r.n_docs for r in out}
+    assert all(n >= 2 for n in sizes.values())
+    # union-find ground truth from the pairs
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth: dict = {}
+    for x in parent:
+        truth.setdefault(find(x), set()).add(x)
+    expect = {min(m): len(m) for m in truth.values() if len(m) >= 2}
+    assert sizes == expect
