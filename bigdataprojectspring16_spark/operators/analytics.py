@@ -10,7 +10,7 @@ and shuffle-keyed on user_id / day, so the shapes hold at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -245,4 +245,69 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
+    )
+
+
+@query(
+    "sessionize_gap_batch",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_new DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionize_gap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min), the lag →
+    boundary-flag → running-sum technique: a new session starts where
+    the gap to the previous same-user event exceeds the threshold,
+    and the cumulative count of boundary flags numbers the sessions.
+
+    This is the manual twin of ``stream_session``'s built-in
+    ``session_window`` — same semantics, expressed with two windows
+    over ONE partitioning (user_id), so Catalyst plans a single
+    shuffle + sort and both window operators plus the final
+    aggregation ride it. The cumulative-sum window orders by
+    (ts, is_new DESC) — tie-safe in both engines even if a boundary
+    and a non-boundary event share a timestamp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_new").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_no", F.sum("is_new").over(w2))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
     )

@@ -69,6 +69,7 @@ PORTABLE_SQL_KEYS: list[str] = [
     "sample_hash_mod",
     "scan_parquet",
     "scan_with_pushdown",
+    "sessionize_gap_batch",
     "set_except",
     "set_intersect",
     "set_union_all",

@@ -75,3 +75,37 @@ def test_no_unpartitioned_window_in_any_declared_query(spark, name):
             f"{name}: window without partition keys: "
             f"windowspecdefinition({chunk[:120]}"
         )
+
+
+def test_q3_limit_is_take_ordered(spark):
+    from bigdataprojectspring16_spark.operators import analytics
+
+    plan = _physical(analytics.tpch_q3_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gap_fill_joins_are_broadcast(spark):
+    """The day-spine and type joins must broadcast — shuffling the
+    daily aggregate against a days-sized spine would be absurd."""
+    from bigdataprojectspring16_spark.operators import analytics
+
+    plan = _physical(analytics.timeseries_gap_fill(spark, SF_DIR))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both windows and the final aggregate ride ONE user_id hash
+    partitioning: lag-window partitioning (user_id) satisfies the
+    grouping distribution of (user_id, session_no)."""
+    from bigdataprojectspring16_spark.operators import analytics
+
+    plan = _physical(analytics.sessionize_gap_batch(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_latest_by_key_single_shuffle(spark):
+    from bigdataprojectspring16_spark.operators import setops
+
+    plan = _physical(setops.dedup_latest_by_key(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
