@@ -477,3 +477,38 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_mktsegment"], ["n_orders", "sum_price", "avg_price"],
         "metric", "value",
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(o_orderkey & 15) AS sum_low_nibble,
+           sum((o_orderkey >> 4) & 15) AS sum_next_nibble,
+           bit_xor(o_orderkey) AS xor_keys,
+           bit_or(o_orderkey & 255) AS or_low_byte,
+           bit_and(o_orderkey | 4095) AS and_key_mask
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar ops (&, |, >>) and bitwise aggregates
+    (bit_and/bit_or/bit_xor) over order keys per status.
+
+    Cross-engine hazard worth pinning: ``^`` is bitwise XOR in Spark
+    SQL but POWER in DuckDB — the oracle uses the aggregate
+    ``bit_xor`` and avoids infix xor entirely. All ops are pure
+    integer arithmetic inside whole-stage codegen; the aggregates are
+    algebraic (partial-combinable), so the shuffle carries one row
+    per group like any sum.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(k.bitwiseAND(F.lit(15))).alias("sum_low_nibble"),
+        F.sum(F.shiftright(k, 4).bitwiseAND(F.lit(15))).alias("sum_next_nibble"),
+        F.bit_xor(k).alias("xor_keys"),
+        F.bit_or(k.bitwiseAND(F.lit(255))).alias("or_low_byte"),
+        F.bit_and(k.bitwiseOR(F.lit(4095))).alias("and_key_mask"),
+    )

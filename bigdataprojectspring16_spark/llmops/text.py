@@ -394,3 +394,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("fp")).alias("n_fingerprints"),
         F.min("fp").alias("min_fingerprint"),
     )
+
+
+@query(
+    "text_clean_stopwords",
+    oracle="""
+    WITH cleaned AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS toks_before,
+               len(string_split(
+                   trim(regexp_replace(
+                       regexp_replace(text, '\\b(a|the)\\b', '', 'g'),
+                       ' +', ' ', 'g')),
+                   ' ')) AS toks_after
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(toks_before) AS total_toks_before,
+           sum(toks_after) AS total_toks_after,
+           round(1.0 - sum(toks_after) / CAST(sum(toks_before) AS DOUBLE), 6)
+               AS removed_ratio
+    FROM cleaned
+    GROUP BY lang
+    """,
+)
+def text_clean_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning: strip stopword tokens ('a', 'the' — both
+    in-vocabulary for this corpus) with word-boundary regexes,
+    re-collapse whitespace, and report per-lang token reduction.
+
+    Pure narrow map (JVM ``regexp_replace``, no UDF) + one small
+    aggregate — the cheapest possible shape for a full-corpus rewrite
+    at 100 TB. Regex stays in the RE2 ∩ Java-regex common dialect
+    (`\\b`, alternation, `+`); DuckDB needs the explicit 'g' flag
+    where Spark's regexp_replace is always-global (SURVEY §5.3).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"\b(a|the)\b", ""), " +", " "
+        )
+    )
+    t = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("toks_before"),
+        F.size(F.split(cleaned, " ")).alias("toks_after"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks_before").alias("total_toks_before"),
+        F.sum("toks_after").alias("total_toks_after"),
+        F.round(
+            1.0 - F.sum("toks_after") / F.sum("toks_before").cast("double"), 6
+        ).alias("removed_ratio"),
+    )

@@ -233,3 +233,53 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("latest_type"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
     )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name, r_name, round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+    )
+    SELECT n_name, r_name, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6)
+               AS region_share
+    FROM rev
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    an unordered full-partition window (sum over the whole partition)
+    on top of a grouped aggregate.
+
+    The window input is already nation-level (25 rows at any SF), so
+    the full-frame window is cheap by construction; the heavy lifting
+    is the preceding two-phase aggregation. Partitioned by r_name —
+    never an empty partition spec (the all-to-one guard in
+    tests/test_plan_shapes.py applies here too).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "n_name",
+        "r_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "region_share"
+        ),
+    )

@@ -67,6 +67,7 @@ PORTABLE_SQL_KEYS: list[str] = [
     "scalar_conditional",
     "scalar_math",
     "sample_hash_mod",
+    "scalar_bitwise",
     "scan_parquet",
     "scan_with_pushdown",
     "sessionize_gap_batch",
@@ -82,6 +83,7 @@ PORTABLE_SQL_KEYS: list[str] = [
     "tpch_q3_topk",
     "udaf_geomean",
     "window_ntile_percent",
+    "window_share_of_total",
     "window_range_frame",
     "window_rank_topn",
     "window_running_total",
