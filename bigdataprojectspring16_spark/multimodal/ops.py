@@ -245,3 +245,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     assets = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(assets)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n_bytes,
+               unnest(generate_series(0, (n_bytes - 1) // 256, 4)) AS frame_no
+        FROM v
+    )
+    SELECT doc_id, frame_no,
+           frame_no * 256 AS byte_offset,
+           least(256, n_bytes - frame_no * 256) AS frame_bytes
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: treat each
+    binary payload as fixed-size 256-byte frames and emit every 4th
+    frame's (index, byte offset, length) — the 1:N row expansion that
+    feeds a decode UDF (the decode itself is the stubbed Pandas-UDF
+    stage in tests/test_multimodal.py; this query is the exact
+    Spark-side shape that schedules it).
+
+    ``sequence`` + ``explode`` is a narrow expansion — no shuffle, no
+    driver involvement, output partitioning inherits the scan — which
+    is what makes per-frame fan-out viable when a 100 TB corpus
+    expands 30× into frame rows; the downstream decode runs
+    ``mapInPandas`` on the already-expanded, already-distributed rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    v = d.select("doc_id", F.octet_length(payload).alias("n_bytes"))
+    f = v.select(
+        "doc_id",
+        "n_bytes",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n_bytes") - 1) / 256).cast("int"),
+                F.lit(4),
+            )
+        ).alias("frame_no"),
+    )
+    return f.select(
+        "doc_id",
+        "frame_no",
+        (F.col("frame_no") * 256).alias("byte_offset"),
+        F.least(F.lit(256), F.col("n_bytes") - F.col("frame_no") * 256).alias(
+            "frame_bytes"
+        ),
+    )

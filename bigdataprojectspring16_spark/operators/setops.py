@@ -153,3 +153,70 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "ts", "value")
     )
+
+
+@query(
+    "merge_upsert_batch",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, c_acctbal + 100 AS new_bal
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    del AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 = 3),
+    ins AS (
+        SELECT c_custkey + 10000000 AS c_custkey, c_nationkey, 0.0 AS bal
+        FROM customer WHERE c_custkey % 13 = 0
+    ),
+    merged AS (
+        SELECT b.c_custkey, b.c_nationkey,
+               coalesce(u.new_bal, b.c_acctbal) AS bal
+        FROM customer b
+        LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+        WHERE NOT EXISTS (SELECT 1 FROM del d
+                          WHERE d.c_custkey = b.c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_nationkey, bal FROM ins
+    )
+    SELECT c_nationkey, count(*) AS n_rows, round(sum(bal), 2) AS total_bal
+    FROM merged GROUP BY c_nationkey
+    """,
+)
+def merge_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) semantics in vanilla Spark: apply an
+    update set (matched → new balance), a delete set (matched →
+    drop), and an insert set (unmatched → append) to a base table in
+    one lazy plan — left join + coalesce for updates, anti join for
+    deletes, union for inserts — then summarize per nation.
+
+    The change sets are derived deterministically from the base
+    (key % n slices) so the query is self-contained on fixtures. This
+    is exactly the join topology Delta/Iceberg MERGE plans under the
+    hood: every stage is an equi join or union on c_custkey, shuffle-
+    partitioned and skew-tolerant, so the shape is the 100 TB CDC
+    path; at scale the wins come from partition pruning on the base
+    (file skipping), which parquet + min/max stats give for free.
+    """
+    base = load_table(spark, sf_dir, "customer")
+    upd = base.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("new_bal")
+    )
+    dele = base.where(F.col("c_custkey") % 17 == 3).select("c_custkey")
+    ins = base.where(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        "c_nationkey",
+        F.lit(0.0).alias("bal"),
+    )
+    merged = (
+        base.join(upd, "c_custkey", "left")
+        .join(dele, "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.coalesce("new_bal", "c_acctbal").alias("bal"),
+        )
+        .unionByName(ins)
+    )
+    return merged.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("bal"), 2).alias("total_bal"),
+    )

@@ -59,6 +59,7 @@ PORTABLE_SQL_KEYS: list[str] = [
     "join_theta",
     "limit_topk",
     "map_from_entries",
+    "merge_upsert_batch",
     # multimodal_join excluded: its oracle indexes embedding[1],
     # which is 1-based in DuckDB but 0-based in Spark SQL — the
     # string parses on both engines yet means different elements.

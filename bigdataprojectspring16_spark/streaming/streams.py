@@ -217,3 +217,36 @@ def stateful_purchase_counter_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with same-user
+    clicks in the preceding hour (streaming twin of the batch
+    ``join_range_interval``).
+
+    Both sides are watermarked and the join has a two-sided time
+    constraint — the two conditions Structured Streaming needs to
+    bound the join state store: a click can be evicted once the
+    purchase-side watermark passes click_ts + 1h, so state is
+    O(watermark-window of data), not O(stream). Either side may
+    arrive first across micro-batches; the state store buffers and
+    matches late counterparts.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return p.join(
+        c,
+        (p["user_id"] == c["c_user"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")

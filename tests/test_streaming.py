@@ -294,3 +294,58 @@ def test_stream_static_join_enriches_each_batch(spark):
         assert got == expect
     finally:
         r.stop()
+
+
+def test_stream_stream_interval_join_buffers_both_sides(spark):
+    """Inner stream-stream join with two-sided time bound: clicks and
+    purchases arrive in separate micro-batches in either order; the
+    state store must match across batches, and out-of-range clicks
+    must not join."""
+    click_src = tempfile.mkdtemp(prefix="stream-clk-")
+    buy_src = tempfile.mkdtemp(prefix="stream-buy-")
+    chk = tempfile.mkdtemp(prefix="stream-chk-")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    joined = streams.stream_stream_interval_join(
+        streams.read_event_stream(spark, click_src),
+        streams.read_event_stream(spark, buy_src),
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+
+    def feed(src, rows):
+        df = spark.createDataFrame(rows, streams.EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(src)
+        query.processAllAvailable()
+
+    try:
+        # batch 1: clicks first — user 1 @ t0, user 2 @ t0+10
+        feed(click_src, [_mk(0, 100, 1, "click"), _mk(10, 101, 2, "click")])
+        # batch 2: purchases — u1 @ +30 (joins), u2 @ +120 (click too
+        # old), u3 @ +30 (no click at all)
+        feed(
+            buy_src,
+            [_mk(30, 200, 1), _mk(120, 201, 2), _mk(30, 202, 3)],
+        )
+        got = {
+            (r.user_id, r.purchase_id, r.click_id)
+            for r in spark.table(name).collect()
+        }
+        assert got == {(1, 200, 100)}
+        # batch 3: a LATE click for user 3 @ +15 — purchase 202 is
+        # already buffered; the join must emit the pair now.
+        feed(click_src, [_mk(15, 102, 3, "click")])
+        got = {
+            (r.user_id, r.purchase_id, r.click_id)
+            for r in spark.table(name).collect()
+        }
+        assert got == {(1, 200, 100), (3, 202, 102)}
+    finally:
+        query.stop()
+        shutil.rmtree(click_src, ignore_errors=True)
+        shutil.rmtree(buy_src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
