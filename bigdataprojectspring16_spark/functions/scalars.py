@@ -512,3 +512,35 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(k.bitwiseAND(F.lit(255))).alias("or_low_byte"),
         F.bit_and(k.bitwiseOR(F.lit(4095))).alias("and_key_mask"),
     )
+
+
+@query(
+    "scalar_try_cast",
+    oracle="""
+    SELECT event_type,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+               AS n_numeric,
+           count(TRY_CAST(event_type AS INTEGER)) AS n_bogus,
+           sum(coalesce(TRY_CAST(json_extract_string(props, '$.k')
+                                 AS INTEGER), 0)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe type coercion: ``try_cast`` yields NULL instead of
+    failing on malformed input — the ingestion-hardening primitive
+    for schema-on-read. Numeric JSON payload values cast cleanly
+    (n_numeric = row count); casting the non-numeric event_type
+    yields all NULLs (n_bogus = 0) without poisoning the job.
+
+    A plain CAST of a bad string throws (ANSI mode) or silently
+    nulls depending on config — try_cast pins the semantics
+    explicitly, identically in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_numeric"),
+        F.count(F.col("event_type").try_cast("int")).alias("n_bogus"),
+        F.sum(F.coalesce(k, F.lit(0))).alias("sum_k"),
+    )

@@ -150,3 +150,97 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.length("text") != F.col("n_chars"), 1).otherwise(0)
         ).alias("n_chars_mismatch"),
     )
+
+
+@query(
+    "clean_impute_nulls",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag, nullif(l_discount, 0.0) AS d FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag, avg(d) AS mean_d FROM t GROUP BY l_returnflag
+    )
+    SELECT t.l_returnflag,
+           count(*) AS n_rows,
+           count(*) - count(d) AS n_imputed,
+           round(sum(coalesce(d, mean_d)), 6) AS sum_filled
+    FROM t JOIN m ON t.l_returnflag = m.l_returnflag
+    GROUP BY t.l_returnflag
+    """,
+)
+def clean_impute_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean null imputation: nulls (manufactured via
+    ``nullif(l_discount, 0)`` — fixtures are null-free) are filled
+    with their group's non-null mean, reporting how many were imputed.
+
+    Two-pass shape: a per-group aggregate (group-count-sized, so the
+    join back is a broadcast at any realistic group cardinality),
+    then ``coalesce`` row-wise. A global ``fillna(constant)`` is the
+    degenerate one-pass case; per-group imputation is what actually
+    preserves distributions in a training corpus.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("d"),
+    )
+    m = t.groupBy("l_returnflag").agg(F.avg("d").alias("mean_d"))
+    return (
+        t.join(F.broadcast(m), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("d")).alias("n_imputed"),
+            F.round(F.sum(F.coalesce("d", "mean_d")), 6).alias("sum_filled"),
+        )
+    )
+
+
+@query(
+    "clean_outlier_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT o_orderpriority,
+               avg(o_totalprice) AS mu,
+               stddev_samp(o_totalprice) AS sigma
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           count(*) AS n_total,
+           count(CASE WHEN abs((o_totalprice - mu) / sigma) > 2.5
+                      THEN 1 END) AS n_outliers,
+           round(sum(CASE WHEN abs((o_totalprice - mu) / sigma) <= 2.5
+                          THEN o_totalprice END), 2) AS sum_kept
+    FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def clean_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier gating per group: rows beyond 2.5σ of their
+    group mean are flagged and excluded from the kept sum — the
+    numeric-column analogue of the text quality gate.
+
+    Same two-pass topology as imputation: tiny per-group (μ, σ)
+    aggregate broadcast back over the fact table; the z expression is
+    pure double arithmetic in whole-stage codegen. Quantile-based
+    (IQR) gating swaps the stats aggregate for `agg_percentiles`'
+    exact-percentile aggregate; the join-back stage is identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sigma"),
+    )
+    z = F.abs((F.col("o_totalprice") - F.col("mu")) / F.col("sigma"))
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(z > 2.5, 1)).alias("n_outliers"),
+            F.round(
+                F.sum(F.when(z <= 2.5, F.col("o_totalprice"))), 2
+            ).alias("sum_kept"),
+        )
+    )

@@ -85,3 +85,41 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH s AS (
+        SELECT c_mktsegment, c_acctbal
+        FROM customer
+        WHERE (c_custkey * 2654435761) % 100 <
+              CASE WHEN c_mktsegment = 'BUILDING' THEN 20 ELSE 5 END
+    )
+    SELECT c_mktsegment, count(*) AS n_sampled,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM s GROUP BY c_mktsegment
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (20% for
+    BUILDING, 5% elsewhere) via the same multiplicative key hash as
+    ``sample_hash_mod`` — the corpus-rebalancing shape (upweight a
+    rare slice, downsample the rest) for training-data mixes.
+
+    ``df.sampleBy`` is seeded-random and partition-dependent; the
+    arithmetic predicate is reproducible everywhere and stays a
+    narrow scan-side filter — no shuffle until the final tiny
+    aggregate, at any scale.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    rate = F.when(F.col("c_mktsegment") == "BUILDING", 20).otherwise(5)
+    keep = (F.col("c_custkey") * F.lit(2654435761)) % 100 < rate
+    return (
+        c.where(keep)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )

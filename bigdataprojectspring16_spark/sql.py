@@ -42,6 +42,8 @@ PORTABLE_SQL_KEYS: list[str] = [
     "agg_max_by",
     "agg_pricing_summary",
     "agg_rollup",
+    "clean_impute_nulls",
+    "clean_outlier_zscore",
     "dedup_latest_by_key",
     "distinct_exact",
     "filter_compound",
@@ -68,6 +70,7 @@ PORTABLE_SQL_KEYS: list[str] = [
     "scalar_conditional",
     "scalar_math",
     "sample_hash_mod",
+    "sample_stratified",
     "scalar_bitwise",
     "scan_parquet",
     "scan_with_pushdown",
