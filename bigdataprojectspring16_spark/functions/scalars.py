@@ -544,3 +544,55 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("event_type").try_cast("int")).alias("n_bogus"),
         F.sum(F.coalesce(k, F.lit(0))).alias("sum_k"),
     )
+
+
+@query(
+    "map_hof",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT event_type,
+           count(*) AS n_users,
+           round(sum(round(ln(n), 6)), 6) AS sum_log
+    FROM c WHERE n >= 3
+    GROUP BY event_type
+    """,
+)
+def map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions, end-to-end verified: build each
+    user's event_type→count map (`map_from_entries` over collected
+    structs), gate it with `map_filter(v >= 3)`, rescale with
+    `transform_values(ln)`, then explode back to rows and aggregate.
+
+    The oracle computes the same result relationally (counts →
+    filter → ln) — a semantic check that the map-typed path filters
+    and transforms exactly like its flat twin; maps never appear in
+    the output (map column ordering is engine-arbitrary, so they are
+    not hashable across engines). All lambdas are JVM-side Catalyst
+    expressions — no Python in the loop.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    transformed = maps.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("m", lambda k, v: v >= 3),
+            lambda k, v: F.round(F.log(v.cast("double")), 6),
+        ).alias("m"),
+    )
+    exploded = transformed.select(
+        "user_id", F.explode("m").alias("event_type", "logn")
+    )
+    return exploded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("logn"), 6).alias("sum_log"),
+    )

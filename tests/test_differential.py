@@ -165,3 +165,62 @@ def test_window_sum_and_row_number_with_null_ordering(spark, rows):
                                               s ASC NULLS FIRST) AS rn
            FROM t""",
     )
+
+
+cast_str = st.one_of(
+    st.none(),
+    st.sampled_from(
+        ["0", "7", "-42", "007", " 12 ", "", " ", "abc", "1a",
+         "99999999999999999999", "-"]
+    ),
+)
+cast_rows = st.lists(st.tuples(key, maybe_int, cast_str), min_size=0, max_size=25)
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_bitwise_ops_agree(spark, rows):
+    """Bitwise scalars and aggregates over generated ints (incl.
+    NULLs): & / >> and bit_or/bit_xor null-skip must agree.
+    Non-negative domain only — the declared bitwise surface."""
+    from pyspark.sql import functions as F
+
+    sdf, con = _both(spark, rows)
+    nn = F.abs(F.col("a"))
+    out = sdf.groupBy("k").agg(
+        F.sum(nn.bitwiseAND(F.lit(12))).alias("sum_and"),
+        F.bit_or(F.shiftright(nn, 2)).alias("or_shift"),
+        F.bit_xor(nn).alias("xor_all"),
+    )
+    _compare(
+        out,
+        con,
+        """SELECT k,
+                  sum(abs(a) & 12) AS sum_and,
+                  bit_or(abs(a) >> 2) AS or_shift,
+                  bit_xor(abs(a)) AS xor_all
+           FROM t GROUP BY k""",
+    )
+
+
+@given(rows=cast_rows)
+@SLOW
+def test_try_cast_agrees_on_malformed_strings(spark, rows):
+    """try_cast over digits / signs / padding / garbage / overflow /
+    NULL must null out the same rows in both engines."""
+    from pyspark.sql import functions as F
+
+    sdf, con = _both(spark, rows)
+    c = F.col("s").try_cast("int")
+    out = sdf.groupBy("k").agg(
+        F.count(c).alias("n_ok"),
+        F.sum(c).alias("sum_ok"),
+    )
+    _compare(
+        out,
+        con,
+        """SELECT k,
+                  count(TRY_CAST(s AS INTEGER)) AS n_ok,
+                  sum(TRY_CAST(s AS INTEGER)) AS sum_ok
+           FROM t GROUP BY k""",
+    )
