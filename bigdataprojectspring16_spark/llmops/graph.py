@@ -136,3 +136,89 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "graph_cluster_keep_best",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst AS node, r.lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.lbl < e.dst
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(lbl) AS comp_id FROM reach GROUP BY node
+    ),
+    keep AS (
+        SELECT comp_id,
+               max_by(d.doc_id, d.n_chars * 1000000 - d.doc_id) AS kept_id
+        FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+        GROUP BY comp_id
+    )
+    SELECT d.lang,
+           count(*) AS n_survivors,
+           sum(d.n_chars) AS total_chars
+    FROM keep JOIN documents d ON d.doc_id = keep.kept_id
+    GROUP BY d.lang
+    """,
+)
+def graph_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup composite: transitive dup CLUSTERS (connected
+    components of the Jaccard ≥ 0.95 graph) reduced to one canonical
+    representative each — the longest doc, ties to the smallest id
+    (unique arithmetic score; max_by tie order is engine-specific) —
+    then per-lang survivor stats.
+
+    Pair-level keep-best (``dedup_keep_best``) under-dedups transitive
+    chains (A~B, B~C, A≁C keeps two of the three); component-level
+    selection is what production corpus dedup does (one survivor per
+    cluster). Stages: the CC fixpoint loop (each round distributed,
+    see :func:`connected_components`), a ``max_by`` per component, a
+    keyed join back, one aggregate — every stage shuffle-keyed, no
+    driver-side data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
+    b = t.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    edges = (
+        a.join(b, F.col("src") < F.col("dst"))
+        .where(inter.cast("double") / union >= 0.95)
+        .select("src", "dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comp = connected_components(
+        d.select(F.col("doc_id").alias("node")), edges
+    ).withColumnRenamed("node", "doc_id")
+    score = F.col("n_chars") * 1000000 - F.col("doc_id")
+    keep = (
+        comp.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("component")
+        .agg(F.max_by("doc_id", score).alias("kept_id"))
+    )
+    return (
+        keep.join(d, keep.kept_id == d.doc_id)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
