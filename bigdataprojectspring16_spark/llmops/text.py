@@ -449,3 +449,71 @@ def text_clean_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.sum("toks_after") / F.sum("toks_before").cast("double"), 6
         ).alias("removed_ratio"),
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, substr(text, i, 1) AS ch
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+    ),
+    freq AS (
+        SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY doc_id, ch
+    ),
+    ent AS (
+        SELECT f.doc_id,
+               round(-sum((n / CAST(d.n_chars AS DOUBLE))
+                          * ln(n / CAST(d.n_chars AS DOUBLE))), 6) AS h
+        FROM freq f JOIN documents d ON f.doc_id = d.doc_id
+        GROUP BY f.doc_id
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           round(avg(h), 6) AS avg_entropy,
+           round(min(h), 6) AS min_entropy,
+           round(max(h), 6) AS max_entropy
+    FROM ent JOIN documents d ON ent.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc, summarized per lang —
+    the classic cheap gibberish/boilerplate signal (low entropy =
+    repetitive padding, high = noise) used alongside
+    ``text_quality_score``'s ratio rules.
+
+    Both engines build char rows the same way (index sequence +
+    substr — Spark's ``split(text, '')`` and DuckDB's
+    ``string_split`` disagree on empty-string edges, so neither is
+    used), aggregate (doc, char) counts, and fold -Σ p·ln p. Per-doc
+    entropy is rounded to 6dp BEFORE the per-lang avg so float
+    associativity can't drift the comparison. Shape: one explode
+    (narrow), two keyed aggregations — n_chars ≡ length(text) is a
+    measured fixture invariant (SURVEY §1.2), reused as the
+    denominator without a third pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        F.col("text"),
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n") / F.col("n_chars").cast("double")
+    ent = (
+        freq.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("h"))
+    )
+    return (
+        ent.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 6).alias("avg_entropy"),
+            F.round(F.min("h"), 6).alias("min_entropy"),
+            F.round(F.max("h"), 6).alias("max_entropy"),
+        )
+    )
