@@ -44,6 +44,7 @@ PORTABLE_SQL_KEYS: list[str] = [
     "agg_rollup",
     "clean_impute_nulls",
     "clean_outlier_zscore",
+    "custdist_two_level_agg",
     "dedup_latest_by_key",
     "distinct_exact",
     "filter_compound",
@@ -84,6 +85,7 @@ PORTABLE_SQL_KEYS: list[str] = [
     "stream_stateful_counter",
     "subquery_correlated",
     "stream_tumbling",
+    "tpch_q14_promo_share",
     "tpch_q3_topk",
     "udaf_geomean",
     "window_ntile_percent",
