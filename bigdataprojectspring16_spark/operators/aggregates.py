@@ -456,3 +456,37 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         )
     )
+
+
+@query(
+    "agg_bool_and_or",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 500000) AS any_over_500k,
+           bool_and(o_orderpriority IS NOT NULL) AS all_prioritized,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal/existential aggregates: ``bool_and`` (every row
+    satisfies) / ``bool_or`` (at least one does) per group — the
+    relational ∀/∃ used for data-quality contracts ("all rows priced",
+    "any outlier present").
+
+    Both are algebraic (AND/OR are associative-commutative), so the
+    shuffle carries one boolean per (partition × group) like any
+    partial aggregate — contrast with rewriting as `count(CASE ...)
+    = count(*)`, which carries counts to compute the same bit.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 500000).alias("any_over_500k"),
+        F.bool_and(F.col("o_orderpriority").isNotNull()).alias(
+            "all_prioritized"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -32,6 +32,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 #: their Spark-side SQL would be a different string, which the
 #: DataFrame form already is.
 PORTABLE_SQL_KEYS: list[str] = [
+    "agg_bool_and_or",
     "agg_corr_covar",
     "agg_cube",
     "agg_distinct_count",
