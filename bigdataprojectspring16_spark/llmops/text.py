@@ -517,3 +517,153 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("h"), 6).alias("max_entropy"),
         )
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, lang, array_to_string(t[i:i+2], ' ') AS g
+        FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+    scored AS (
+        SELECT tr.doc_id, tr.lang,
+               count(*) AS n_grams,
+               count(b.g) AS n_hits
+        FROM (SELECT * FROM grams WHERE doc_id % 37 <> 0) tr
+        LEFT JOIN bench b USING (g)
+        GROUP BY tr.doc_id, tr.lang
+    )
+    SELECT lang,
+           count(*) AS n_train_docs,
+           count(*) FILTER (CAST(n_hits AS DOUBLE) / n_grams > 0.05)
+               AS n_flagged,
+           round(avg(CAST(n_hits AS DOUBLE) / n_grams), 4)
+               AS avg_contamination,
+           sum(n_hits) AS total_hits
+    FROM scored GROUP BY lang
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: token-trigram overlap vs a held-out set.
+
+    The GPT-3/PaLM-style eval-contamination check: the "benchmark"
+    is the deterministic doc_id % 37 slice; a training doc is
+    flagged when > 5% of its distinct trigrams appear verbatim in
+    any benchmark doc. Scale shape: the benchmark gram set is tiny
+    relative to the corpus by construction (eval sets don't grow
+    with training data), so the membership probe is a broadcast
+    left join against the full corpus scan — no all-pairs work, one
+    doc_id-keyed aggregation. Trigrams (not 13-grams) because the
+    fixture vocabulary is ~40 terms (SURVEY §2 `explode_wordcount`);
+    the operator is n-agnostic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", "lang", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 37 == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        grams.where(F.col("doc_id") % 37 != 0)
+        .join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
+    contam = F.col("n_hits").cast("double") / F.col("n_grams")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.count_if(contam > 0.05).alias("n_flagged"),
+        F.round(F.avg(contam), 4).alias("avg_contamination"),
+        F.sum("n_hits").alias("total_hits"),
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    per_tok AS (
+        SELECT doc_id, lang, tok, count(*) AS n
+        FROM toks GROUP BY doc_id, lang, tok
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               sum(n) AS tot, count(*) AS uniq, max(n) AS top_n
+        FROM per_tok GROUP BY doc_id, lang
+    ),
+    scored AS (
+        SELECT lang,
+               round(CAST(tot - uniq AS DOUBLE) / tot, 6) AS dup_frac,
+               round(CAST(top_n AS DOUBLE) / tot, 6) AS top_frac
+        FROM per_doc
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (dup_frac > 0.55) AS n_flagged,
+           round(avg(dup_frac), 6) AS avg_dup_frac,
+           round(avg(top_frac), 6) AS avg_top_frac,
+           round(max(dup_frac), 6) AS max_dup_frac
+    FROM scored GROUP BY lang
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate-token + top-token mass.
+
+    Two cheap repetition signals per doc — the fraction of token
+    occurrences that are repeats of an earlier token
+    ((tot-uniq)/tot) and the mass of the single most frequent token
+    (top_n/tot) — summarized per lang with a > 0.55 flag rate.
+    Shape: one explode + two doc_id-keyed aggregations; the per-doc
+    group fits an executor at any corpus size (docs are bounded, the
+    corpus is not), and per-doc ratios are rounded to 6dp before the
+    per-lang average so cross-engine float association can't drift
+    the hash (same discipline as text_char_entropy).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = per_tok.groupBy("doc_id", "lang").agg(
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).alias("uniq"),
+        F.max("n").alias("top_n"),
+    )
+    dup = F.round((F.col("tot") - F.col("uniq")).cast("double") / F.col("tot"), 6)
+    top = F.round(F.col("top_n").cast("double") / F.col("tot"), 6)
+    scored = per_doc.select("lang", dup.alias("dup_frac"), top.alias("top_frac"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("dup_frac") > 0.55).alias("n_flagged"),
+        F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+        F.round(F.avg("top_frac"), 6).alias("avg_top_frac"),
+        F.round(F.max("dup_frac"), 6).alias("max_dup_frac"),
+    )

@@ -388,3 +388,45 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders and who placed them.
+
+    Aggregate-then-join topology: the fact table is collapsed to
+    per-order quantity FIRST and the > 250 filter applied before any
+    join, so the join input shrinks from |lineitem| to the few
+    qualifying orders (204 at sf0.01). At scale AQE sees the
+    filtered side is tiny and broadcast-converts both probe joins —
+    the anti-pattern (join lineitem→orders→customer, then
+    aggregate) would shuffle the full fact table twice. Quantity
+    sums of integral doubles are exact, so the rounded total_qty is
+    engine-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey", F.round("q", 2).alias("total_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
