@@ -430,3 +430,74 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(n, 0.5) AS med
+        FROM daily GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, n, med, abs(n - med) AS adev
+        FROM daily d JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT v.event_type,
+           count(*) AS n_days,
+           round(max(med), 4) AS median_daily,
+           round(max(mad), 4) AS mad_daily,
+           count(*) FILTER (adev > 2.0 * 1.4826 * mad) AS n_anomalies,
+           round(max(adev / nullif(1.4826 * mad, 0)), 4) AS max_robust_z
+    FROM dev v JOIN mad USING (event_type)
+    GROUP BY v.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly detection: median + MAD per event type.
+
+    Median/MAD instead of mean/stddev so the detector isn't poisoned
+    by the very outliers it hunts (the production data-quality shape
+    for pipeline-volume monitoring). Two tiny per-type exact
+    percentile aggregations over the pre-collapsed daily counts —
+    the only fact-sized shuffle is the first (type, day) rollup;
+    medians run over ~days rows per type and join back as
+    broadcasts. Flag threshold 2.0 robust-z (the fixture's uniform
+    synthetic volume has no 3-sigma spikes; the operator is
+    threshold-agnostic).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", 0.5).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    z = F.col("adev") / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.max("med"), 4).alias("median_daily"),
+            F.round(F.max("mad"), 4).alias("mad_daily"),
+            F.count_if(
+                F.col("adev") > F.lit(2.0) * F.lit(1.4826) * F.col("mad")
+            ).alias("n_anomalies"),
+            F.round(F.max(z), 4).alias("max_robust_z"),
+        )
+    )

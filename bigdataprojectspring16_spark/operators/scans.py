@@ -123,3 +123,70 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         )
     )
+
+
+@query(
+    "sample_domain_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    ),
+    totals AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
+    SELECT r.source,
+           count(*) AS n_kept,
+           max(n_total) AS n_total,
+           round(CAST(count(*) AS DOUBLE) / max(n_total), 4) AS keep_rate,
+           round(avg(n_chars), 4) AS avg_chars_kept
+    FROM ranked r JOIN totals USING (source)
+    WHERE rn <= 50
+    GROUP BY r.source
+    """,
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most K=50 docs per source, deterministically.
+
+    The corpus-mixing primitive: cap each domain's contribution by a
+    reproducible hash order (multiplicative hash is injective mod
+    2^32, so the order is total — same survivors on any engine or
+    partitioning). Implemented as exact two-level top-K so the shape
+    survives 100 TB: rank within (source, salt) shards first and keep
+    K per shard — a shuffle whose partitions are bounded by shard
+    granularity — then re-rank only the <= K x 8 survivors per
+    source. Per-source top-K is a subset of the union of per-shard
+    top-Ks, so the two-level result is exactly the single-level one
+    (the oracle states the single-level form). A single
+    row_number over 5 whole-domain partitions would serialize each
+    domain through one task at scale.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    k = 50
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    shard = F.pmod(F.col("doc_id"), F.lit(8))
+    w1 = Window.partitionBy("source", shard).orderBy(h.asc(), F.col("doc_id").asc())
+    w2 = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    survivors = (
+        d.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        survivors.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("n_total").alias("n_total"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n_total"), 4
+            ).alias("keep_rate"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars_kept"),
+        )
+    )
