@@ -244,3 +244,108 @@ def clean_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_kept"),
         )
     )
+
+
+@query(
+    "profile_embeddings",
+    oracle="""
+    SELECT count(*) AS n_vecs,
+           count(DISTINCT len(embedding)) AS n_dims_distinct,
+           max(len(embedding)) AS dim,
+           round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6)
+               AS min_norm,
+           round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6)
+               AS max_norm,
+           count(DISTINCT label) AS n_labels,
+           count(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+                      THEN 1 END) AS n_with_nan
+    FROM embeddings
+    """,
+)
+def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column data-quality profile: the pre-ANN sanity gate.
+
+    One global algebraic aggregation (the `profile_documents` twin
+    for the vector modality): ragged-dimension detection, L2-norm
+    range (catches un-normalized or zero vectors before a cosine
+    index is built over them), label cardinality, NaN contamination.
+    Single scan, single reduce, no shuffle wider than one row —
+    identical cost profile at any corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    has_nan = F.exists("embedding", lambda x: F.isnan(x))
+    return e.select(
+        F.sqrt(sq).alias("norm"),
+        F.size("embedding").alias("sz"),
+        "label",
+        has_nan.alias("bad"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("sz").alias("n_dims_distinct"),
+        F.max("sz").alias("dim"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+        F.countDistinct("label").alias("n_labels"),
+        F.count(F.when(F.col("bad"), 1)).alias("n_with_nan"),
+    )
+
+
+@query(
+    "clean_outlier_iqr",
+    oracle="""
+    WITH stats AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           count(*) AS n_total,
+           count(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                        OR o_totalprice > q3 + 1.5 * (q3 - q1)
+                      THEN 1 END) AS n_outliers,
+           round(sum(CASE WHEN o_totalprice >= q1 - 1.5 * (q3 - q1)
+                           AND o_totalprice <= q3 + 1.5 * (q3 - q1)
+                          THEN o_totalprice END), 2) AS sum_kept
+    FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def clean_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5 x IQR) outlier gating per group — the
+    quantile-based variant `clean_outlier_zscore` documents.
+
+    Same two-pass topology: a tiny per-group (q1, q3) aggregate
+    broadcast back over the fact table, fences evaluated in
+    whole-stage codegen. The declared stats pass uses the exact
+    interpolated percentile (oracle-matchable); at 100 TB the
+    drop-in is `approx_percentile` — a mergeable sketch with the
+    same (group -> 2 doubles) output, leaving the join-back stage
+    untouched.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    out = (F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi)
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(out, 1)).alias("n_outliers"),
+            F.round(
+                F.sum(F.when(~out, F.col("o_totalprice"))), 2
+            ).alias("sum_kept"),
+        )
+    )

@@ -409,3 +409,71 @@ def ivf_ann_topk(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+@query(
+    "sim_centroid_assign",
+    oracle="""
+    WITH dims AS (
+        SELECT label, u.i AS pos, avg(embedding[u.i]) AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY label, u.i
+    ),
+    cents AS (
+        SELECT label AS c_label, list(v ORDER BY pos) AS centroid
+        FROM dims GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, e.label,
+               max_by(c_label,
+                      list_dot_product(CAST(embedding AS DOUBLE[]), centroid)
+               ) AS assigned
+        FROM embeddings e CROSS JOIN cents
+        GROUP BY vec_id, e.label
+    )
+    SELECT label, assigned, count(*) AS n
+    FROM assigned GROUP BY label, assigned
+    """,
+)
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (one k-means E-step) + confusion matrix.
+
+    The iterative-clustering building block at cluster scale: the
+    centroid table is tiny (k x dim, independent of corpus size), so
+    assignment is a broadcast nested-loop over a narrow scan — no
+    all-pairs shuffle, each executor scores its partition locally.
+    Centroids are built via posexplode + (label, pos) avg (the
+    `knn_per_label_centroid` shape) and re-assembled with
+    array_sort(collect_list(struct)); assignment is argmax-by-dot
+    (max_by). Iterating this plan with a re-centroid step IS
+    distributed k-means; one step is declared because fixpoints
+    aren't single-query.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).groupBy("label", "pos").agg(F.avg("v").alias("v"))
+    cents = (
+        dims.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s.v,
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            dot(F.col("embedding"), F.col("centroid")).alias("d"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max_by("c_label", "d").alias("assigned"))
+    )
+    return assigned.groupBy("label", "assigned").agg(
+        F.count(F.lit(1)).alias("n")
+    )
