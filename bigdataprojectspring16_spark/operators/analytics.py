@@ -501,3 +501,127 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 4).alias("max_robust_z"),
         )
     )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute,
+    minus an excluded supplier set.
+
+    The NOT IN subquery is written as what Catalyst would rewrite it
+    to anyway — a broadcast left-anti join against the (tiny,
+    selective) excluded-supplier scan — then one distinct-aggregate
+    keyed on (p_brand, p_size). The part dim broadcasts; the only
+    fact-sized exchange is the final two-phase distinct agg. The
+    fixture set has no partsupp table, so lineitem is the
+    part-supplier association, same topology.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p.where(F.col("p_brand") != "Brand#1")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT n_name, year(o_orderdate) AS yr,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, yr
+    )
+    SELECT n_name, yr, rev,
+           round(rev / lag(rev) OVER (PARTITION BY n_name ORDER BY yr) - 1, 6)
+               AS yoy_growth
+    FROM yearly
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: agg-then-window.
+
+    The reporting composite: collapse the fact table to (nation,
+    year) FIRST — the window then runs over ~|nations| x |years|
+    rows, so its sort is trivial at any fact scale (the anti-pattern
+    is windowing the raw fact). First year per nation keeps a NULL
+    growth (no prior period), matching SQL lag semantics.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return yearly.select(
+        "n_name",
+        "yr",
+        "rev",
+        F.round(F.col("rev") / F.lag("rev").over(w) - 1, 6).alias("yoy_growth"),
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    )
+    SELECT prev, event_type AS next, count(*) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY prev), 6) AS p
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    Behavioral-model input: lag over (user_id, ts) orders each
+    user's stream in one shuffle (deterministic (ts, event_id)
+    tie-break), pair counts aggregate to a k x k matrix, and the
+    row-normalized probability runs as an unordered window over the
+    tiny aggregate. The only fact-sized exchange is the user_id
+    partitioning the sessionization family already uses.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    counts = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "next",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )
