@@ -10,7 +10,7 @@ and shuffle-keyed on user_id / day, so the shapes hold at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -624,4 +624,143 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next",
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), TIMESTAMP '2001-12-31')
+                   AS recency,
+               count(*) AS freq,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency, 0.25) AS r1,
+               quantile_cont(recency, 0.50) AS r2,
+               quantile_cont(recency, 0.75) AS r3,
+               quantile_cont(freq, 0.25) AS f1,
+               quantile_cont(freq, 0.50) AS f2,
+               quantile_cont(freq, 0.75) AS f3,
+               quantile_cont(monetary, 0.25) AS m1,
+               quantile_cont(monetary, 0.50) AS m2,
+               quantile_cont(monetary, 0.75) AS m3
+        FROM rfm
+    ),
+    scored AS (
+        SELECT 1 + CAST(recency > r1 AS INT) + CAST(recency > r2 AS INT)
+                 + CAST(recency > r3 AS INT) AS r,
+               1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+                 + CAST(freq > f3 AS INT) AS f,
+               1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+                 + CAST(monetary > m3 AS INT) AS m,
+               monetary
+        FROM rfm CROSS JOIN cuts
+    )
+    SELECT r, f, m,
+           count(*) AS n_customers,
+           round(avg(monetary), 4) AS avg_monetary
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile-cutpoint scores on recency /
+    frequency / monetary, segment census out.
+
+    The classic CRM composite, built WITHOUT a global ntile window
+    (which would serialize all customers through one partition —
+    banned by the plan-shape guard): one fact-sized aggregation
+    collapses orders to one row per customer, a one-row exact-
+    percentile aggregate yields the nine quartile cutpoints, and
+    bucket assignment is a broadcast of that row + pure codegen
+    comparisons. At 100 TB the only change is `approx_percentile`
+    for the cutpoint row — the topology already IS the scale shape
+    (same gate pattern as `clean_outlier_iqr`). Value-based buckets
+    mean ties share a bucket (unlike ntile's arbitrary equal-count
+    splits), which is also the statistically honest choice.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = F.lit("2001-12-31").cast("timestamp")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).alias("recency"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    cuts = rfm.agg(
+        *[
+            F.percentile(c, q).alias(f"{c[0]}{i}")
+            for c in ("recency", "freq", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def bucket(c: str) -> Column:
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c[0]}1")).cast("int")
+            + (F.col(c) > F.col(f"{c[0]}2")).cast("int")
+            + (F.col(c) > F.col(f"{c[0]}3")).cast("int")
+        )
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        bucket("recency").alias("r"),
+        bucket("freq").alias("f"),
+        bucket("monetary").alias("m"),
+        "monetary",
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+    )
+
+
+@query(
+    "events_dau_stickiness",
+    oracle="""
+    WITH dau AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               count(DISTINCT user_id) AS dau
+        FROM events GROUP BY event_type, d
+    ),
+    wau AS (
+        SELECT event_type, date_trunc('week', ts) AS w,
+               count(DISTINCT user_id) AS wau
+        FROM events GROUP BY event_type, w
+    ),
+    a AS (SELECT event_type, avg(dau) AS avg_dau FROM dau GROUP BY event_type),
+    b AS (SELECT event_type, avg(wau) AS avg_wau FROM wau GROUP BY event_type)
+    SELECT event_type,
+           round(avg_dau, 4) AS avg_dau,
+           round(avg_wau, 4) AS avg_wau,
+           round(avg_dau / avg_wau, 6) AS stickiness
+    FROM a JOIN b USING (event_type)
+    """,
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: avg DAU / avg WAU per event type.
+
+    The product-analytics ratio (daily-to-weekly active users; both
+    engines truncate weeks to ISO Monday). Two independent exact
+    distinct-count rollups — each a two-phase (type, bucket,
+    user_id) dedup then count — collapsed to per-type averages and
+    joined broadcast-small. `agg_approx_distinct` is the declared
+    HLL twin when exact per-bucket distincts stop fitting.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dau = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    wau = e.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("w")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    a = dau.groupBy("event_type").agg(F.avg("dau").alias("avg_dau"))
+    b = wau.groupBy("event_type").agg(F.avg("wau").alias("avg_wau"))
+    return a.join(b, "event_type").select(
+        "event_type",
+        F.round("avg_dau", 4).alias("avg_dau"),
+        F.round("avg_wau", 4).alias("avg_wau"),
+        F.round(F.col("avg_dau") / F.col("avg_wau"), 6).alias("stickiness"),
     )
