@@ -142,3 +142,97 @@ def test_approx_percentile_within_accuracy_of_exact(spark):
     )
     for r in rows:
         assert abs(r.approx_p50 - r.exact_p50) / r.exact_p50 < 0.05
+
+
+def test_rfm_approx_cutpoints_agree_with_exact(spark):
+    """The documented 100 TB drop-in for orders_rfm_segments: swap the
+    exact one-row percentile aggregate for approx_percentile. At high
+    accuracy the segment census must agree for nearly all customers."""
+    from bigdataprojectspring16_spark.tables import load_table as lt
+
+    o = lt(spark, SF_DIR, "orders")
+    anchor = F.lit("2001-12-31").cast("timestamp")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).alias("recency"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+
+    def census(cuts_row):
+        def bucket(c):
+            p = cuts_row
+            return (
+                F.lit(1)
+                + (F.col(c) > F.lit(p[f"{c[0]}1"])).cast("int")
+                + (F.col(c) > F.lit(p[f"{c[0]}2"])).cast("int")
+                + (F.col(c) > F.lit(p[f"{c[0]}3"])).cast("int")
+            )
+
+        return {
+            (r.r, r.f, r.m): r.n
+            for r in rfm.select(
+                bucket("recency").alias("r"),
+                bucket("freq").alias("f"),
+                bucket("monetary").alias("m"),
+            )
+            .groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    exact_row = rfm.agg(
+        *[
+            F.percentile(c, q).alias(f"{c[0]}{i}")
+            for c in ("recency", "freq", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    ).collect()[0]
+    approx_row = rfm.agg(
+        *[
+            F.approx_percentile(c, q, 10000).alias(f"{c[0]}{i}")
+            for c in ("recency", "freq", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    ).collect()[0]
+
+    exact_census = census(exact_row)
+    approx_census = census(approx_row)
+    n_total = sum(exact_census.values())
+    n_moved = sum(
+        abs(exact_census.get(k, 0) - approx_census.get(k, 0))
+        for k in set(exact_census) | set(approx_census)
+    )
+    assert n_moved / n_total <= 0.05
+
+
+def test_domain_cap_two_level_equals_single_level(spark):
+    """sample_domain_cap's salted two-level top-K must select EXACTLY
+    the single-level per-source top-K (the oracle states the
+    single-level form; this asserts the survivor sets, not just the
+    census the declared query returns)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, SF_DIR, "documents")
+    k = 50
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w1 = Window.partitionBy("source", F.pmod(F.col("doc_id"), F.lit(8))).orderBy(
+        h.asc(), F.col("doc_id").asc()
+    )
+    w2 = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    two_level = {
+        (r.source, r.doc_id)
+        for r in d.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("source", "doc_id")
+        .collect()
+    }
+    single_level = {
+        (r.source, r.doc_id)
+        for r in d.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("source", "doc_id")
+        .collect()
+    }
+    assert two_level == single_level
