@@ -349,3 +349,50 @@ def clean_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_kept"),
         )
     )
+
+
+@query(
+    "corpus_mix_report",
+    oracle="""
+    WITH per AS (
+        SELECT source, lang,
+               count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS total_tokens FROM per)
+    SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+           round(1000000.0 / n_tokens, 4) AS epochs_at_1m_budget
+    FROM per CROSS JOIN tot
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning table: per (source, lang) token census,
+    corpus share, and effective epochs under a fixed token budget.
+
+    The table a data-mixture decision is made from (shares feed
+    sampling weights; epochs-at-budget flags domains that would
+    repeat). One two-phase aggregate keyed on (source, lang) — the
+    domain-cardinality frame — plus a one-row total broadcast back.
+    No per-doc state survives the first aggregation, so the report
+    costs one scan at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("token_share"),
+        F.round(F.lit(1000000.0) / F.col("n_tokens"), 4).alias(
+            "epochs_at_1m_budget"
+        ),
+    )

@@ -490,3 +490,86 @@ def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS mean_price,
+           round(stddev_samp(o_totalprice), 4) AS sd_price,
+           round(skewness(o_totalprice) * (count(*) - 2)
+                 / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_pop,
+           round(kurtosis_pop(o_totalprice), 6) AS kurt_pop
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth-moment shape statistics per group.
+
+    Distribution-shape profiling (the heavy-tail detector quality
+    pipelines run before trusting mean-based gates). Spark's
+    `skewness`/`kurtosis` are the population forms (g1, excess g2);
+    the oracle maps DuckDB's sample skewness G1 to g1 via
+    (n-2)/sqrt(n(n-1)) and uses kurtosis_pop directly — verified
+    equal to 1e-12 at fixture scale. Moments are algebraic
+    (one-pass, partial-mergeable), so the plan is a plain two-phase
+    hash aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.skewness("o_totalprice"), 6).alias("skew_pop"),
+        F.round(F.kurtosis("o_totalprice"), 6).alias("kurt_pop"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+        SELECT l_returnflag, l_quantity, n,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC
+               ) AS rn
+        FROM counts
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic statistical mode per group.
+
+    Native `mode()` breaks ties engine-arbitrarily, so the operator
+    is the canonical two-stage rewrite with a total order: exact
+    (group, value) counts, then argmax by (count DESC, value ASC)
+    — a window over the already-collapsed counts frame (bounded by
+    the value domain per group, not the fact table). Both stages
+    ride one l_returnflag-compatible partitioning.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+    )
