@@ -764,3 +764,77 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_wau", 4).alias("avg_wau"),
         F.round(F.col("avg_dau") / F.col("avg_wau"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "orders_abc_by_segment",
+    oracle="""
+    WITH spend AS (
+        SELECT c_mktsegment AS seg, o_custkey AS c,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY seg, c
+    ),
+    cum AS (
+        SELECT seg, rev,
+               sum(rev) OVER (
+                   PARTITION BY seg ORDER BY rev DESC, c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_rev,
+               sum(rev) OVER (PARTITION BY seg) AS tot_rev
+        FROM spend
+    ),
+    classed AS (
+        SELECT seg, rev, tot_rev,
+               CASE WHEN cum_rev / tot_rev <= 0.5 THEN 'A'
+                    WHEN cum_rev / tot_rev <= 0.8 THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM cum
+    )
+    SELECT seg, cls,
+           count(*) AS n_customers,
+           round(sum(rev), 2) AS class_rev,
+           round(sum(rev) / max(tot_rev), 6) AS rev_share
+    FROM classed GROUP BY seg, cls
+    """,
+)
+def orders_abc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers within each segment.
+
+    Cumulative-revenue-share classes (A: first 50% of segment
+    revenue, B: next 30%, C: tail) via a running sum over the
+    per-customer aggregate — windows are PARTITIONED by segment
+    (the plan guard bans the global form). Determinism: revenues
+    are rounded to 2dp before the cumulative sum and the ordering
+    (rev DESC, custkey) is total, so both engines add the same
+    doubles in the same sequence. The window input is one row per
+    customer, not the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("c"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    wc = (
+        Window.partitionBy("seg")
+        .orderBy(F.desc("rev"), F.asc("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("seg")
+    share = F.col("cum_rev") / F.col("tot_rev")
+    classed = spend.select(
+        "seg",
+        "rev",
+        F.sum("rev").over(wc).alias("cum_rev"),
+        F.sum("rev").over(wt).alias("tot_rev"),
+    ).withColumn(
+        "cls",
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C"),
+    )
+    return classed.groupBy("seg", "cls").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("class_rev"),
+        F.round(F.sum("rev") / F.max("tot_rev"), 6).alias("rev_share"),
+    )

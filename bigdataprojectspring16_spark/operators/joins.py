@@ -470,3 +470,58 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT
+        p.event_id AS event_id,
+        p.user_id AS user_id,
+        p.ts AS purchase_ts,
+        c.ts AS next_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of forward join: earliest same-user click at-or-after each
+    purchase (the post-purchase-behavior twin of ``join_asof``).
+
+    Same no-join rewrite mirrored in time: union-tag +
+    ``first(click_ts, ignorenulls=True)`` over a per-user window
+    spanning current row → unbounded FOLLOWING. Purchases tag 0,
+    clicks tag 1, so at equal ts the click sorts inside the
+    purchase's following frame — matching DuckDB's inclusive
+    (p.ts <= c.ts) ASOF semantics. Still one user_id shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.col("ts").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tagged = purchases.unionByName(clicks).withColumn(
+        "next_click_ts", F.first("click_ts", ignorenulls=True).over(w)
+    )
+    return tagged.where(F.col("tag") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "next_click_ts",
+    )
