@@ -14,6 +14,7 @@ import pytest
 
 from bigdataprojectspring16_spark import QUERIES
 from bigdataprojectspring16_spark.operators import joins, scans, sorts
+from bigdataprojectspring16_spark.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -109,3 +110,45 @@ def test_latest_by_key_single_shuffle(spark):
 
     plan = _physical(setops.dedup_latest_by_key(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_runtime_bloom_filter_lever_engages(spark):
+    """Runtime row-level filtering (the 100 TB semi-join reduction
+    lever): when a selective filtered side meets a big probe side in
+    a shuffle join, the optimizer injects bloom_filter_agg /
+    might_contain on the probe scan. Default thresholds
+    (creation <= 10 MB, application >= 10 GB) only trigger at real
+    scale, so this test lowers them to simulate it and asserts the
+    engine's plans are injection-compatible. Confs are restored so
+    the shared session is unaffected."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_totalprice") > 500000
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _optimized(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
