@@ -152,3 +152,37 @@ def test_runtime_bloom_filter_lever_engages(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_decontaminate_membership_join_is_broadcast(spark):
+    """The benchmark gram set is eval-suite-sized, never corpus-sized:
+    the membership probe must be a broadcast join, not a shuffle."""
+    from bigdataprojectspring16_spark.llmops import text
+
+    plan = _physical(text.text_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_centroid_assign_is_broadcast_nested_loop(spark):
+    """k x dim centroids broadcast over a narrow scan — the E-step must
+    not shuffle the corpus against the centroid table."""
+    from bigdataprojectspring16_spark.llmops import similarity
+
+    plan = _physical(similarity.sim_centroid_assign(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_aggregates_before_joining(spark):
+    """Aggregate-then-join: the physical plan's first fact-sized stage
+    is the lineitem pre-aggregation; both probe joins consume its
+    (filtered, tiny) output rather than re-shuffling raw lineitem."""
+    from bigdataprojectspring16_spark.operators import analytics
+
+    plan = _optimized(analytics.tpch_q18_large_orders(spark, SF_DIR))
+    agg_pos = plan.find("Aggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # optimized plan is printed top-down: joins consume the aggregate,
+    # so the outermost nodes are joins and the aggregate sits below
+    assert join_pos < agg_pos
