@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -300,4 +300,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(256), F.col("n_bytes") - F.col("frame_no") * 256).alias(
             "frame_bytes"
         ),
+    )
+
+
+@query(
+    "multimodal_bin_packing",
+    oracle="""
+    WITH sized AS (
+        SELECT source, n_chars AS n_bytes,
+               sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_bytes
+        FROM documents
+    ),
+    binned AS (
+        SELECT source, n_bytes,
+               CAST(floor((cum_bytes - 1) / 2048) AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT source,
+           count(DISTINCT bin_id) AS n_bins,
+           count(*) AS n_docs,
+           round(CAST(sum(n_bytes) AS DOUBLE)
+                 / count(DISTINCT bin_id) / 2048, 6) AS avg_fill
+    FROM binned GROUP BY source
+    """,
+)
+def multimodal_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload batch-packing for decode scheduling: assign variable-size
+    payloads to fixed-capacity (2 KiB here) processing bins per source
+    via a running byte total, report bin counts and fill factor.
+
+    The micro-batching step in front of any expensive per-payload
+    stage (GPU decode, OCR): bins bound the memory of one
+    `mapInPandas` batch. The running sum is partitioned by source and
+    ordered by the (total) doc_id order, so bin assignment is
+    deterministic on any engine or partitioning; integer arithmetic
+    throughout. Payload size is the measured n_chars ≡
+    octet_length(text) fixture invariant — real binaries swap in
+    `octet_length(payload)` unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.select(
+        "source",
+        F.col("n_chars").alias("n_bytes"),
+        F.floor((F.sum("n_chars").over(w) - 1) / 2048).alias("bin_id"),
+    )
+    return binned.groupBy("source").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("n_bytes").cast("double")
+            / F.countDistinct("bin_id")
+            / F.lit(2048),
+            6,
+        ).alias("avg_fill"),
     )

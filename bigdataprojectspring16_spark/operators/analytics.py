@@ -838,3 +838,68 @@ def orders_abc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev"), 2).alias("class_rev"),
         F.round(F.sum("rev") / F.max("tot_rev"), 6).alias("rev_share"),
     )
+
+
+@query(
+    "events_moving_avg_7d",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT s.day, t.event_type, coalesce(d.n, 0) AS n
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    )
+    SELECT day, event_type, n,
+           round(avg(n) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 4) AS ma7
+    FROM dense
+    """,
+)
+def events_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily event volume, gap-filled first.
+
+    The composite `timeseries_gap_fill` exists FOR: a rows-frame
+    moving average over sparse days silently spans gaps, so the day
+    spine densifies (missing buckets = 0) before the window runs.
+    The window input is days x types rows, partitioned by type —
+    the fact table is touched once, in the daily pre-aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(day.alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    dense = (
+        spine.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n0", F.lit(0)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return dense.select(
+        "day", "event_type", "n", F.round(F.avg("n").over(w), 4).alias("ma7")
+    )
