@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, ts_seconds
 
 
 @query(
@@ -292,7 +292,7 @@ def sessionize_gap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = ts_seconds(F.col("ts")) - F.lag(ts_seconds(F.col("ts"))).over(w)
     marked = ev.select(
         "user_id",
         "ts",

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, ts_seconds
 
 
 @query(
@@ -113,8 +113,8 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        (F.col("ts").cast("long") - prev_ts.cast("long")).alias("gap_prev_sec"),
-        (next_ts.cast("long") - F.col("ts").cast("long")).alias("gap_next_sec"),
+        (ts_seconds(F.col("ts")) - ts_seconds(prev_ts)).alias("gap_prev_sec"),
+        (ts_seconds(next_ts) - ts_seconds(F.col("ts"))).alias("gap_next_sec"),
     )
 
 
@@ -137,7 +137,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(ts_seconds(F.col("ts")))
         .rangeBetween(-3600, 0)
     )
     return ev.select(

@@ -50,6 +50,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ts_seconds(col: F.Column) -> F.Column:
+    """Epoch seconds of a timestamp column, robust to NTZ vs LTZ.
+
+    Parquet TIMESTAMP(NANOS, isAdjustedToUTC=false) reads as
+    TIMESTAMP_NTZ on Spark 4.1, which cannot cast straight to BIGINT
+    (DATATYPE_MISMATCH); routing through TIMESTAMP_LTZ interprets the
+    wall-clock in the session TZ (pinned UTC, session.py) — exactly
+    how the DuckDB oracle's ``epoch(ts)`` reads the same naive value.
+    """
+    return col.cast("timestamp_ltz").cast("long")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table lazily (scans are deferred until action)."""
     ensure_session_confs(spark)
