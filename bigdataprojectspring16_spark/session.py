@@ -12,6 +12,7 @@ timestamps are zone-less and the DuckDB oracle compares them naively
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -56,18 +57,29 @@ _STARTUP_CONFS: dict[str, str] = {
 }
 
 
+#: Sessions already asserted — every `spark.conf.get` is a py4j round
+#: trip, and load_table runs for each of a query's input tables, so
+#: without this cache a 133-key driver sweep pays ~7 RPCs × tables ×
+#: keys of pure overhead (VERDICT.md "Next round" item 1).
+_CONFS_ASSERTED: weakref.WeakSet = weakref.WeakSet()
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Assert the runtime-settable engine confs on an existing session.
 
     Every query function calls this, so correctness (TZ, AQE, Arrow)
     holds even when the driver — not us — built the SparkSession.
+    Idempotent and cached per live session object.
     """
+    if spark in _CONFS_ASSERTED:
+        return spark
     for k, v in ENGINE_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — startup value wins
+    _CONFS_ASSERTED.add(spark)
     return spark
 
 
