@@ -2,19 +2,73 @@
 
 Exact dedup is a hash-groupBy (one shuffle on the 256-bit digest —
 the 100 TB-safe form: the shuffle key is the hash, never the text).
-Near-dup is declared as the *exact* pairwise token-set Jaccard at
-oracle scale; the scale path is MinHashLSH (shingle → minhash → band
-→ bucket-join), implemented in ``minhash_lsh_pairs`` below and held
-to recall ≥0.9 against the exact query in tests/test_scale_paths.py.
+Near-dup pair generation NEVER runs all-pairs: the exact-result keys
+(``dedup_near_jaccard``, ``dedup_ngram_jaccard``,
+``dedup_edit_distance``) build candidates with *prefix filtering*
+(AllPairs / PPJoin, Bayardo et al. WWW'07) — an equi-join on each
+set's rarest-token prefix with a provable recall guarantee, so the
+result is bit-identical to the O(n²) oracle while the plan stays a
+linear chain of keyed shuffles.  The probabilistic twins
+(``dedup_minhash_lsh``, ``dedup_simhash``) keep their band joins and
+are recall-tested in tests/test_scale_paths.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
+
+
+def prefix_filter_candidates(
+    t: DataFrame, threshold: float, set_col: str = "toks"
+) -> DataFrame:
+    """Candidate pairs for Jaccard ≥ ``threshold`` via prefix filtering.
+
+    AllPairs/PPJoin (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07): order every set by a global token order
+    (ascending document frequency — rarest first — ties by term), and
+    keep only each set's *prefix* of length
+
+        p(x) = |x| - ceil(threshold * |x|) + 1.
+
+    Guarantee: if J(x, y) ≥ t then |x∩y| ≥ t·|x∪y| ≥ t·max(|x|,|y|),
+    so the globally-smallest common token sits within the first
+    |x| - ceil(t·|x|) + 1 tokens of x AND the first
+    |y| - ceil(t·|y|) + 1 tokens of y — the prefix equi-join has
+    recall 1.0, deterministically (no banding luck involved).
+
+    The join key is a single token; ordering by ascending frequency
+    makes prefix buckets the *rarest* tokens, which is what bounds
+    bucket sizes at 100 TB (a stop-word never lands in a prefix unless
+    the set is nearly all stop-words).  Input ``t``: (doc_id, set_col);
+    output: distinct (doc_a, doc_b) with doc_a < doc_b, a superset of
+    the true ≥-threshold pairs to be exact-verified by the caller.
+    """
+    tok = t.select(
+        "doc_id", F.size(set_col).alias("sz"), F.explode(set_col).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "term")
+    prefix = (
+        tok.join(freq, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc_id", "term")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "term")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "term")
+    return (
+        pa.join(pb, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 @query(
@@ -65,23 +119,27 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs: token-set Jaccard ≥ 0.95, exact pairwise.
+    """Near-duplicate pairs: token-set Jaccard ≥ 0.95, exact result.
 
-    O(n²) by construction — correct and tractable at oracle scale
-    (500 docs → 125k pairs). The 100 TB path is
-    :func:`minhash_lsh_pairs` (MinHashLSH banding), verified for
-    recall against this query in tests/test_scale_paths.py.
+    Candidates come from :func:`prefix_filter_candidates` (lossless
+    prefix-filter equi-join — recall 1.0 by the prefix pigeonhole
+    argument, see its docstring), then the exact Jaccard is computed
+    on candidates only.  Identical output to the oracle's all-pairs
+    CTE with a linear plan: no nested-loop join anywhere
+    (tests/test_plan_shapes.py asserts the physical plan).
     """
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
-    a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    b = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    cand = prefix_filter_candidates(t, 0.95)
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -334,25 +392,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup by character-5-gram Jaccard ≥ 0.9, exact pairwise.
+    """Near-dup by character-5-gram Jaccard ≥ 0.9, exact result.
 
     Character shingles catch reorder/suffix edits that token sets
     miss; the token-set baseline saturates on this corpus's tiny
     vocabulary while 5-grams isolate the 25 true near-dup pairs at
-    sf0.01 (measured). Exact O(n²) at oracle scale; at 100 TB the
-    same gram sets feed :func:`dedup_minhash_lsh`'s band join.
+    sf0.01 (measured).  Same lossless prefix-filter candidate join as
+    :func:`dedup_near_jaccard` (5-grams are just another set column),
+    exact gram-Jaccard on candidates — identical to the all-pairs
+    oracle, linear plan.
     """
     d = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(
         F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
     )
     t = d.select("doc_id", grams.alias("grams"))
-    a = t.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-    b = t.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    cand = prefix_filter_candidates(t, 0.9, set_col="grams")
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -386,11 +448,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside the vector; cosine ≡ dot product on the L2-normalized
     embeddings. Threshold 0.45 fits the measured distribution (max
     pairwise cosine 0.51 — the corpus embeddings are near-orthogonal,
-    so 14 pairs clear the cut at sf0.01). Exact pairwise at oracle
-    scale; the 100 TB path buckets by random-hyperplane signature
-    first (``sim_ann_lsh``) so only same-bucket pairs are scored.
+    so 14 pairs clear the cut at sf0.01). Exact: at a threshold this
+    far below the LSH collision regime no bucketing is recall-safe,
+    so the all-pairs compute runs through the GEMM-tiled equi-join
+    (:func:`..similarity.blocked_all_pairs` — balanced B² tasks, no
+    nested loop); a *high*-threshold semantic sweep would instead use
+    ``sim_ann_lsh``'s hyperplane buckets as a linear candidate stage.
     """
-    from .similarity import dot
+    from .similarity import blocked_all_pairs, dot
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
@@ -406,7 +471,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
     )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        blocked_all_pairs(a, b, "doc_a", "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -498,22 +563,24 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_ngram_jaccard``), absolute and relative to the longer doc.
 
     Edit distance is O(len²) per pair — never run it all-pairs. The
-    cheap set-similarity stage prunes n² down to the ~25 true
-    candidates first (at 100 TB: the LSH band join), and the JVM
+    lossless prefix-filter equi-join proposes candidates, the exact
+    5-gram Jaccard prunes them to the ~25 true pairs, and the JVM
     ``levenshtein`` runs only on survivors. This candidates→expensive-
-    verify split is the canonical two-stage dedup topology.
+    verify split is the canonical two-stage dedup topology, and every
+    stage is a keyed shuffle — no nested-loop join in the plan.
     """
     d = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(
         F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
     )
     t = d.select("doc_id", "text", grams.alias("grams"))
-    a = t.select(
+    cand = prefix_filter_candidates(t, 0.9, set_col="grams")
+    ta = t.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("ta"),
         F.col("grams").alias("grams_a"),
     )
-    b = t.select(
+    tb = t.select(
         F.col("doc_id").alias("doc_b"),
         F.col("text").alias("tb"),
         F.col("grams").alias("grams_b"),
@@ -522,7 +589,8 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
     lev = F.levenshtein(F.col("ta"), F.col("tb"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .where(inter.cast("double") / union >= 0.9)
         .select(
             "doc_a",

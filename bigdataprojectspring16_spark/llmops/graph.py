@@ -4,27 +4,31 @@ Pairwise near-dup detection (dedup.py) yields *edges*; corpus curation
 needs *clusters* — if A~B and B~C, all three are one dup group even
 when A~C misses the threshold. That closure is an iterative graph
 computation Spark has no built-in operator for, so this module
-implements min-label propagation as a driver-side loop of keyed
-DataFrame joins:
-
-    labels(node) ← min(labels(node), min over in-neighbors' labels)
-
-repeated to fixpoint. Each iteration is one shuffle-keyed join + one
-two-phase min-aggregate — fully distributed, nothing driver-side but
-the (cheap, aggregated) convergence check. ``localCheckpoint`` after
-every round truncates the lineage so the plan stays O(1) deep instead
-of O(iterations).
-
-Scale notes (100 TB): plain label propagation converges in O(graph
-diameter) rounds; near-dup clusters are near-cliques (diameter ≤ ~3),
-so the loop is 3-4 rounds in practice. For adversarial long-chain
-graphs the same loop structure upgrades to large-star/small-star
+implements the **alternating large-star / small-star algorithm**
 (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14), which converges in O(log n) rounds; the hook is swapping the
-one-hop propagation step, the surrounding fixpoint loop is unchanged.
-The DuckDB oracle expresses the identical closure as a WITH RECURSIVE
-reachability query — a differential check that the iterative plan
-computes true transitive closure, not one-hop grouping.
+SoCC'14) as a driver-side loop of keyed DataFrame rounds:
+
+    large-star: every node points its LARGER neighbors at the minimum
+                of its neighborhood (incl. itself);
+    small-star: every node folds its smaller-or-equal neighbors (and
+                itself) onto that minimum.
+
+Alternating the two contracts every component to a star rooted at its
+global minimum in **O(log n) rounds** — on a length-n chain the hop
+distance to the root roughly doubles per round, vs the O(diameter)
+rounds of one-hop label propagation. Each round is two keyed
+aggregates + two keyed joins — fully distributed, nothing driver-side
+but the (cheap, aggregated) convergence probe. ``localCheckpoint``
+after every round truncates the lineage so the plan stays O(1) deep
+instead of O(rounds).
+
+Edge generation is linear too: candidates come from the lossless
+prefix-filter equi-join (dedup.prefix_filter_candidates — recall 1.0
+for Jaccard ≥ t, never all-pairs), exact-verified before entering the
+fixpoint. The DuckDB oracle expresses the identical closure as a WITH
+RECURSIVE reachability query — a differential check that the
+star-contraction computes true transitive closure, not one-hop
+grouping.
 """
 
 from __future__ import annotations
@@ -38,40 +42,117 @@ from ..tables import load_table
 MAX_ITERATIONS = 25
 
 
+def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Undirected token-Jaccard ≥ threshold edges (src, dst), built
+    linearly: lossless prefix-filter candidates (recall 1.0 — see
+    dedup.prefix_filter_candidates), exact Jaccard verify on the
+    candidate set only. Same predicate as ``dedup_near_jaccard``."""
+    from .dedup import prefix_filter_candidates
+
+    t = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    cand = prefix_filter_candidates(t, threshold)
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(inter.cast("double") / union >= threshold)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: for each node u, connect every strictly
+    larger neighbor to min(Γ(u) ∪ {u})."""
+    nbr = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbr.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        nbr.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge larger→smaller, then for
+    each node u connect its smaller neighbors AND u itself to
+    min(Γ⁻(u) ∪ {u})."""
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    folded = e.join(mins, "u").select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    self_edge = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return (
+        folded.unionByName(self_edge)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Min-label connected components via iterative label propagation.
+    """Min-label connected components (see :func:`cc_with_rounds`)."""
+    labels, _ = cc_with_rounds(nodes, edges)
+    return labels
 
-    ``nodes``: one column ``node``. ``edges``: columns ``src``/``dst``,
-    treated as directed — pass both directions for an undirected graph.
-    Returns (node, component) where component is the minimum node id
-    reachable in the undirected closure.
 
-    Eager: runs Spark jobs (one join + one aggregate per round, plus a
-    count for the convergence test). Checkpoints each round.
+def cc_with_rounds(
+    nodes: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star.
+
+    ``nodes``: one column ``node``. ``edges``: columns ``src``/``dst``
+    (direction irrelevant — rounds re-orient internally). Returns
+    ((node, component), rounds) where component is the minimum node id
+    in the undirected closure and rounds is the number of
+    large+small-star rounds to fixpoint — O(log n) even on chains
+    (tests/test_graph.py asserts rounds ≤ log₂(n) + 2 adversarially).
+
+    Eager: runs a handful of Spark jobs per round; the convergence
+    probe compares the (tiny, star-shaped) edge sets symmetric-
+    differentially and only ships an emptiness bit to the driver.
     """
-    edges = edges.localCheckpoint()
-    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
     for _ in range(MAX_ITERATIONS):
-        prop = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), "lbl")
-        )
-        new = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
-        )
+        rounds += 1
+        new = _small_star(_large_star(e)).localCheckpoint()
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+            new.exceptAll(e).unionByName(e.exceptAll(new)).limit(1).count()
         )
-        labels = new
+        e, old = new, e
         if changed == 0:
             break
-    return labels.select("node", F.col("lbl").alias("component"))
+    # Fixpoint is a star per component: src (member) -> dst (= root,
+    # the component min). Roots and isolated nodes label themselves.
+    stars = e.groupBy(F.col("src").alias("node")).agg(F.min("dst").alias("component"))
+    return (
+        nodes.join(stars, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        ),
+        rounds,
+    )
 
 
 @query(
@@ -105,30 +186,16 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_near_jaccard``), one row per multi-doc cluster with its
     size; component id = smallest doc_id in the cluster.
 
-    Edges are O(n²) exact pairs here (oracle-scale tractable); at
-    100 TB the edge stage swaps to ``dedup_minhash_lsh``'s band join
-    while this closure stage is unchanged. The oracle's WITH RECURSIVE
-    reachability propagates each label only while it is smaller than
-    the receiving node (`r.lbl < e.dst`) — the component minimum is
-    never blocked, so min(lbl) per node is exact and the recursion
-    terminates (UNION-distinct over a finite label×node set).
+    The edge stage is the lossless prefix-filter candidate join
+    (linear — never all-pairs, see :func:`_near_dup_edges`); the
+    closure is the O(log n)-round star contraction. The oracle's WITH
+    RECURSIVE reachability propagates each label only while it is
+    smaller than the receiving node (`r.lbl < e.dst`) — the component
+    minimum is never blocked, so min(lbl) per node is exact and the
+    recursion terminates (UNION-distinct over a finite label×node set).
     """
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
-    )
-    a = t.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
-    b = t.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
-    edges = (
-        a.join(b, F.col("src") < F.col("dst"))
-        .where(inter.cast("double") / union >= 0.95)
-        .select("src", "dst")
-    )
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _near_dup_edges(d, 0.95)
     nodes = d.select(F.col("doc_id").alias("node"))
     return (
         connected_components(nodes, edges)
@@ -184,27 +251,14 @@ def graph_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair-level keep-best (``dedup_keep_best``) under-dedups transitive
     chains (A~B, B~C, A≁C keeps two of the three); component-level
     selection is what production corpus dedup does (one survivor per
-    cluster). Stages: the CC fixpoint loop (each round distributed,
-    see :func:`connected_components`), a ``max_by`` per component, a
-    keyed join back, one aggregate — every stage shuffle-keyed, no
+    cluster). Stages: the linear prefix-filter edge join
+    (:func:`_near_dup_edges`), the O(log n)-round star-contraction
+    fixpoint (see :func:`cc_with_rounds`), a ``max_by`` per component,
+    a keyed join back, one aggregate — every stage shuffle-keyed, no
     driver-side data.
     """
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
-    )
-    a = t.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
-    b = t.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
-    edges = (
-        a.join(b, F.col("src") < F.col("dst"))
-        .where(inter.cast("double") / union >= 0.95)
-        .select("src", "dst")
-    )
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _near_dup_edges(d, 0.95)
     comp = connected_components(
         d.select(F.col("doc_id").alias("node")), edges
     ).withColumnRenamed("node", "doc_id")

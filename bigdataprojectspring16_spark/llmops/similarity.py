@@ -23,6 +23,44 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def blocked_all_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs (id_left < id_right) as a block-tiled equi-join.
+
+    All-pairs scoring is O(n²) compute no matter what — when the exact
+    result is required (no ANN recall bargain), the scalable physical
+    form is the GEMM-style 2-D tiling, not a broadcast nested-loop:
+    each row gets a block id = pmod(hash(id), B); the left side keeps
+    its own block as the first key and enumerates all B values of the
+    second, the right side mirrors — so every unordered pair of rows
+    meets at exactly one of the B² (block, block) join keys (the
+    id_left < id_right filter kills the transposed orientation).
+
+    Properties at 100 TB: shuffle volume is 2·n·B rows (choose
+    B ≈ sqrt(n²/rows-per-task), so tasks stay memory-bounded), the
+    join is a plain shuffled equi-join on (_ba, _bb) with B² evenly
+    hashed keys — balanced parallelism, no corpus broadcast, no
+    BroadcastNestedLoopJoin (tests/test_plan_shapes.py asserts it).
+    """
+    all_blocks = F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+    l = left.withColumn(
+        "_ba", F.pmod(F.hash(F.col(id_left)), F.lit(n_blocks))
+    ).withColumn("_bb", all_blocks)
+    r = right.withColumn(
+        "_bb", F.pmod(F.hash(F.col(id_right)), F.lit(n_blocks))
+    ).withColumn("_ba", all_blocks)
+    return (
+        l.join(r, ["_ba", "_bb"])
+        .where(F.col(id_left) < F.col(id_right))
+        .drop("_ba", "_bb")
+    )
+
+
 @query(
     "sim_knn_cosine",
     oracle="""
@@ -76,17 +114,21 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs with cosine ≥ 0.4 (embedding near-dup sweep).
 
-    Exact pairwise at oracle scale; the 100 TB path is LSH bucketing
-    (``lsh_ann_topk``'s bucketizer) or block-matrix multiply so only
-    same-bucket pairs are scored. Threshold 0.4 chosen from the
-    measured similarity distribution (max pairwise cosine is 0.51 —
+    Exact — the 0.4 threshold is far below any LSH collision regime
+    (arccos(0.4) ≈ 66°, near-random hyperplane bits), so recall-safe
+    bucketing cannot prune here; instead the all-pairs compute runs
+    through :func:`blocked_all_pairs` — the GEMM-tiled equi-join —
+    which keeps tasks balanced and memory-bounded at any corpus size.
+    For a *high* threshold sweep, the linear candidate generator is
+    ``sim_ann_lsh``'s hyperplane buckets. Threshold 0.4 chosen from
+    the measured similarity distribution (max pairwise cosine 0.51 —
     a 0.95 cut would be vacuously empty).
     """
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        blocked_all_pairs(a, b, "vec_a", "vec_b")
         .select(
             "vec_a",
             "vec_b",

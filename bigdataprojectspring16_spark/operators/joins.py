@@ -413,10 +413,12 @@ def join_skew_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-shaped join: events hit only the first 10% of customer
     keys (SURVEY §1.3), so a plain shuffle join would funnel all event
     rows into a sliver of the key space. Two scale levers, both used:
-    the customer⋈nation dim chain broadcasts (no shuffle at all on the
-    skewed side here), and AQE's OptimizeSkewedJoin (enabled in the
+    only the fixed-size nation table is force-broadcast (customer
+    grows with sf — forcing it into a broadcast would OOM by
+    construction at 100×, so its join strategy is left to
+    AQE/statistics), and AQE's OptimizeSkewedJoin (enabled in the
     session factory) splits oversized partitions at runtime when the
-    fact side does shuffle on a real cluster.
+    fact side shuffles on a real cluster.
     """
     ev = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
@@ -425,7 +427,7 @@ def join_skew_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "n_name"
     )
     return (
-        ev.join(F.broadcast(dims), ev.user_id == dims.c_custkey)
+        ev.join(dims, ev.user_id == dims.c_custkey)
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

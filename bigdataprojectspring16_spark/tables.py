@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import ensure_session_confs
@@ -42,15 +42,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as int64 ns (legacy.parquet.nanosAsLong):
-        # truncate to µs with integer div — double division would lose
-        # precision at 1e18 — matching DuckDB's ns→µs cast.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as int64 ns (legacy.parquet.nanosAsLong):
+            # truncate to µs with integer div — double division would lose
+            # precision at 1e18 — matching DuckDB's ns→µs cast.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # A build without nanosAsLong support would surface the naive
+            # parquet timestamp as TIMESTAMP_NTZ; normalize to LTZ here
+            # (session TZ is pinned UTC, so the wall-clock is preserved)
+            # so every downstream null literal / union sees ONE ts type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return df
 
 
-def ts_seconds(col: F.Column) -> F.Column:
+def ts_seconds(col: Column) -> Column:
     """Epoch seconds of a timestamp column, robust to NTZ vs LTZ.
 
     Parquet TIMESTAMP(NANOS, isAdjustedToUTC=false) reads as

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigdataprojectspring16_spark.llmops.graph import (
+    cc_with_rounds,
     connected_components,
     graph_connected_components,
 )
@@ -40,6 +41,22 @@ def test_min_label_flows_upstream(spark):
 def test_two_components_and_self_loop(spark):
     got = _cc(spark, [(0, 1), (2, 2), (3, 4), (4, 5)], 6)
     assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 3}
+
+def test_chain_rounds_logarithmic(spark):
+    """The Kiveris star-contraction must beat O(diameter): a length-64
+    path graph (diameter 64, worst case for one-hop propagation) has
+    to converge in ≤ log₂(n) + 2 rounds."""
+    import math
+
+    n = 64
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, rounds = cc_with_rounds(nodes, e)
+    assert {r.component for r in labels.collect()} == {0}
+    assert rounds <= math.log2(n) + 2, f"{rounds} rounds on a {n}-chain"
+
 
 def test_documents_clusters_match_pair_closure(spark):
     """Every near-dup pair's endpoints share a component, and each

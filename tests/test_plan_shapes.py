@@ -186,3 +186,67 @@ def test_q18_aggregates_before_joining(spark):
     # optimized plan is printed top-down: joins consume the aggregate,
     # so the outermost nodes are joins and the aggregate sits below
     assert join_pos < agg_pos
+
+
+DECARTESIANED = [
+    "dedup_near_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "sim_pairs_threshold",
+]
+
+
+@pytest.mark.parametrize("name", DECARTESIANED)
+def test_pair_queries_have_no_nested_loop_join(spark, name):
+    """The declared near-dup / similarity pair queries generate pairs
+    via keyed equi-joins (prefix-filter candidates or GEMM block
+    tiling) — an unbounded nested-loop anywhere in these plans is the
+    one shape that cannot survive a 100× scale-up."""
+    plan = _physical(QUERIES[name](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_graph_edge_stage_has_no_nested_loop_join(spark):
+    """The CC edge stage must use the prefix-filter candidate join,
+    not the all-pairs theta join it replaced."""
+    from bigdataprojectspring16_spark.llmops.graph import _near_dup_edges
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = _physical(_near_dup_edges(d, 0.95))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blocked_all_pairs_is_shuffled_equi_join(spark):
+    """blocked_all_pairs must plan as a plain equi-join on the two
+    block ids — no broadcast of a corpus-sized side, no nested loop."""
+    from pyspark.sql import functions as F
+
+    from bigdataprojectspring16_spark.llmops.similarity import blocked_all_pairs
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # kill size-based broadcast so the assertion sees the shape a
+        # corpus-sized input would produce, not the tiny-fixture one
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _physical(blocked_all_pairs(a, b, "vec_a", "vec_b"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_skew_join_does_not_force_broadcast_customer(spark):
+    """Only the fixed-size nation table may carry a broadcast hint:
+    customer grows with sf, so forcing it into a broadcast would OOM
+    by construction at 100x (VERDICT r1 'What's wrong' #2). One
+    ResolvedHint (nation) in the analyzed plan, no more."""
+    df = joins.join_skew_events_customers(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
