@@ -37,6 +37,12 @@ HEADLINE = [
     "pivot_event_types",
     "text_tfidf_topterms",
     "json_extract",
+    # LLM-ops heavy hitters (added r2 — the K-category plans whose
+    # regressions were invisible to the original 12-query set).
+    "dedup_minhash_lsh",
+    "graph_cluster_keep_best",
+    "text_decontaminate",
+    "sim_ann_lsh",
 ]
 
 

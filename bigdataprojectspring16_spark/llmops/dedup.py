@@ -43,9 +43,24 @@ def prefix_filter_candidates(
     The join key is a single token; ordering by ascending frequency
     makes prefix buckets the *rarest* tokens, which is what bounds
     bucket sizes at 100 TB (a stop-word never lands in a prefix unless
-    the set is nearly all stop-words).  Input ``t``: (doc_id, set_col);
-    output: distinct (doc_a, doc_b) with doc_a < doc_b, a superset of
-    the true ≥-threshold pairs to be exact-verified by the caller.
+    the set is nearly all stop-words).
+
+    Two further PPJoin prunes — both lossless — run before the caller
+    ever touches a full set array (the arrays are the expensive part
+    to verify, so candidate count is the cost driver):
+
+    - length filter: J ≥ t ⟹ t·|x| ≤ |y| ≤ |x|/t (inter ≤ min size,
+      union ≥ max size);
+    - positional filter: the globally-smallest common token w sits at
+      position ra in x and rb in y (= the min matched prefix
+      positions, since positions follow the global order), and every
+      common token lies at-or-after w ⟹
+      inter ≤ min(|x| - ra, |y| - rb) + 1, which must reach the
+      equivalent-overlap bound ceil(t/(1+t)·(|x|+|y|)).
+
+    Input ``t``: (doc_id, set_col); output: (doc_a, doc_b) with
+    doc_a < doc_b, a superset of the true ≥-threshold pairs to be
+    exact-verified by the caller.
     """
     tok = t.select(
         "doc_id", F.size(set_col).alias("sz"), F.explode(set_col).alias("term")
@@ -59,15 +74,37 @@ def prefix_filter_candidates(
             F.col("rn")
             <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
-        .select("doc_id", "term")
+        .select("doc_id", "sz", "term", "rn")
     )
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "term")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), "term")
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        "term",
+        F.col("rn").alias("rn_a"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        "term",
+        F.col("rn").alias("rn_b"),
+    )
+    need = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+    )
     return (
         pa.join(pb, "term")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a"))
+            & (F.col("sz_a") >= threshold * F.col("sz_b"))
+        )
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.min("rn_a").alias("ra"), F.min("rn_b").alias("rb"))
+        .where(
+            F.least(F.col("sz_a") - F.col("ra"), F.col("sz_b") - F.col("rb")) + 1
+            >= need
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
@@ -189,12 +226,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``MinHashLSH`` whose hash coefficients are seed-dependent):
 
     1. minhash_i(doc) = min over tokens of ``md5(i || ':' || term)``
-       (string-min of a salted MD5 ≡ a random permutation per i);
-       16 hash functions from one shuffle on (doc_id, i).
-    2. band signature = md5 of the 4 minhashes in each of 4 bands;
-       docs sharing any band signature become candidate pairs —
-       at 100 TB this is the only pair-generating join and it is
-       keyed on (band, sig), linear in corpus size, never O(n²).
+       (string-min of a salted MD5 ≡ a random permutation per i).
+       All 16 minima come from ONE map-side-combinable aggregation
+       over the exploded tokens — 16 ``min`` agg columns, not a
+       tokens×16 crossJoin: the shuffle carries 16 partial minima per
+       (doc, partition), never the multiplied token stream.
+    2. band signature = md5 of the 4 minhashes in each of 4 bands —
+       a narrow projection off the 16 agg columns (no second
+       shuffle); docs sharing any band signature become candidate
+       pairs — at 100 TB this is the only pair-generating join and
+       it is keyed on (band, sig), linear in corpus size, never
+       O(n²).
     3. Exact token-set Jaccard recomputed on candidates only
        (LSH proposes, exact verifies); threshold 0.95.
 
@@ -206,40 +248,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
     toks = t.select("doc_id", F.explode("toks").alias("term"))
-    hash_ids = spark.range(16).select(F.col("id").cast("int").alias("i"))
-    minh = (
-        toks.crossJoin(F.broadcast(hash_ids))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("term")))
-            ).alias("h")
-        )
+    minh = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"h{i}")
+            for i in range(16)
+        ]
     )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"h{4 * b + j}") for j in range(4)])
+                ).alias("sig"),
+            )
+            for b in range(4)
+        ]
+    )
+    sizes = t.select("doc_id", F.size("toks").alias("sz"))
     bands = (
-        minh.withColumn("band", F.expr("i div 4"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "h"))),
-                        lambda x: x["h"],
-                    ),
-                    "",
-                )
-            ).alias("sig")
+        minh.join(sizes, "doc_id")
+        .select("doc_id", "sz", F.explode(band_structs).alias("bs"))
+        .select(
+            "doc_id", "sz", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
         )
     )
     cand = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        bands.select(
+            F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "band", "sig"
+        )
         .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "sig"),
+            bands.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "band", "sig"
+            ),
             ["band", "sig"],
         )
-        .where(F.col("doc_a") < F.col("doc_b"))
+        # Lossless length prune (PPJoin): J >= 0.95 forces the set
+        # sizes within 5% of each other — drop impossible candidates
+        # before the expensive exact-verify join.
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_b") >= 0.95 * F.col("sz_a"))
+            & (F.col("sz_a") >= 0.95 * F.col("sz_b"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
+    )
+    # The candidate count EXPANDS ~1000x past the tiny per-doc band
+    # table, but AQE sizes downstream stages off the small minhash
+    # map output — pin the verify stage's parallelism explicitly (a
+    # user repartition is exempt from AQE coalescing) so the exact-
+    # Jaccard re-check fans out instead of running near-serially.
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
     )
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
@@ -305,6 +366,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. per (doc, bit j): sum of ±1 over all tokens, + when bit j of
        md5(term) is set; fingerprint bit = sign of the sum (tf-
        weighted because duplicate tokens are NOT distinct here).
+       All 32 accumulators come from ONE map-side-combinable
+       aggregation (32 ``sum`` agg columns over the exploded tokens,
+       md5 computed once per token) — not a tokens×32 crossJoin.
     2. fingerprint = 32-char '0'/'1' string; banded into 4 bytes.
        Candidates share ≥1 exact byte — the pigeonhole guarantee:
        hamming ≤ 3 ⟹ at least one of 4 bands is identical, so the
@@ -313,38 +377,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. exact Hamming distance on candidates, keep ≤ 2.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-    bit_ids = spark.range(32).select(F.col("id").cast("int").alias("j"))
-    bitacc = (
-        toks.crossJoin(F.broadcast(bit_ids))
-        .withColumn(
-            "nib",
-            F.expr("instr('0123456789abcdef', substr(md5(term), j div 4 + 1, 1)) - 1"),
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).select("doc_id", F.md5("term").alias("h"))
+    # bit j of the 128-bit md5, via its hex nibble j div 4.
+    bit = [
+        F.expr(
+            f"((instr('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+            f" div {2 ** (3 - j % 4)}) % 2"
         )
-        .withColumn(
-            "bit", F.expr("(nib div cast(power(2, 3 - (j % 4)) as int)) % 2")
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum(F.expr("2 * bit - 1")).alias("acc"))
+        for j in range(32)
+    ]
+    acc = toks.groupBy("doc_id").agg(
+        *[F.sum(2 * bit[j] - 1).alias(f"acc{j}") for j in range(32)]
     )
-    fp = (
-        bitacc.select(
-            "doc_id", "j", F.when(F.col("acc") > 0, "1").otherwise("0").alias("c")
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "c"))),
-                    lambda x: x["c"],
-                ),
-                "",
-            ).alias("bits")
-        )
+    fp = acc.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"acc{j}") > 0, "1").otherwise("0")
+                for j in range(32)
+            ]
+        ).alias("bits"),
     )
-    band_ids = spark.range(4).select(F.col("id").cast("int").alias("band"))
-    bands = fp.crossJoin(F.broadcast(band_ids)).select(
-        "doc_id", "bits", "band", F.expr("substr(bits, band * 8 + 1, 8)").alias("sig")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"substr(bits, {b * 8 + 1}, 8)").alias("sig"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = fp.select("doc_id", "bits", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bits", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     cand = (
         bands.select(

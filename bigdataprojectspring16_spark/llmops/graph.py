@@ -43,26 +43,51 @@ MAX_ITERATIONS = 25
 
 
 def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Undirected token-Jaccard ≥ threshold edges (src, dst), built
-    linearly: lossless prefix-filter candidates (recall 1.0 — see
-    dedup.prefix_filter_candidates), exact Jaccard verify on the
-    candidate set only. Same predicate as ``dedup_near_jaccard``."""
+    """Undirected token-Jaccard ≥ threshold edges (src, dst) with the
+    same closure as the all-pairs edge set, built linearly.
+
+    Since the edges only feed a connected-components closure, docs
+    with IDENTICAL token sets (J = 1 ≥ t always) are contracted to
+    one representative first (a groupBy on the set digest — the exact
+    dedup_exact_docs shape): each doc gets a spoke edge to its rep,
+    and only distinct sets enter the candidate join. Dense dup
+    clusters are exactly what a 100 TB near-dup corpus looks like, so
+    this contraction is the difference between verifying |distinct|²
+    -shaped candidates and |docs|²-shaped ones. Cross-set candidates
+    come from the lossless prefix-filter join (recall 1.0 — see
+    dedup.prefix_filter_candidates), exact-verified on arrays; the
+    resulting closure is identical to ``dedup_near_jaccard``'s pair
+    predicate because any member pair (a, b) of set-groups (A, B) has
+    the same Jaccard as the rep pair.
+    """
     from .dedup import prefix_filter_candidates
 
     t = d.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("toks"),
+    ).withColumn("set_key", F.sha2(F.concat_ws(" ", "toks"), 256))
+    reps = t.groupBy("set_key").agg(
+        F.min("doc_id").alias("doc_id"), F.first("toks").alias("toks")
     )
-    cand = prefix_filter_candidates(t, threshold)
-    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    spokes = (
+        t.select("doc_id", "set_key")
+        .join(reps.select("set_key", F.col("doc_id").alias("rep")), "set_key")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"))
+    )
+    rt = reps.select("doc_id", "toks")
+    cand = prefix_filter_candidates(rt, threshold)
+    ta = rt.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = rt.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
-    return (
+    rep_edges = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .where(inter.cast("double") / union >= threshold)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
+    return rep_edges.unionByName(spokes)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
