@@ -217,18 +217,29 @@ def test_parquet_sink_with_checkpoint_restart_no_duplicates(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
-def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
-    """The Spark 4 transformWithStateInPandas API and the
-    applyInPandasWithState API produce identical counters on the
-    same two-batch replay (cross-batch state in both).
+def test_stateful_counter_apis_agree_on_two_batch_replay(spark):
+    """Every available stateful-streaming API produces the same
+    counters on the same two-batch replay (cross-batch state).
 
-    transformWithState's state server speaks protobuf; this
-    environment ships a broken google.protobuf (no descriptor
-    module), so the test skips where the import fails rather than
-    misreporting an engine bug (the implementation under test is
-    streams.stateful_purchase_counter_tws).
+    The applyInPandasWithState leg ALWAYS runs — it is the executed
+    streaming proof for the declared ``stream_stateful_counter``
+    batch twin, asserted against the hand-computed ground truth.
+    The Spark 4 transformWithStateInPandas leg
+    (streams.stateful_purchase_counter_tws) additionally runs where
+    google.protobuf is importable (its state server speaks
+    protobuf); this environment ships no google module, so the tws
+    comparison is capability-gated instead of skipping the whole
+    test — the cross-batch state assertion executes everywhere.
     """
-    pytest.importorskip("google.protobuf.descriptor")
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    impls = [("aip", streams.stateful_purchase_counter)]
+    if has_protobuf:
+        impls.append(("tws", streams.stateful_purchase_counter_tws))
     old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -240,10 +251,7 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
             [_mk(2, 3), _mk(3, 4, user_id=2)],
         ]
         results = {}
-        for name, build in (
-            ("aip", streams.stateful_purchase_counter),
-            ("tws", streams.stateful_purchase_counter_tws),
-        ):
+        for name, build in impls:
             r = Replay(spark, name, build, "update")
             try:
                 for b in batches:
@@ -253,7 +261,9 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark):
                 }
             finally:
                 r.stop()
-        assert results["aip"] == results["tws"] == {1: 1, 2: 2, 3: 3, 4: 1}
+        truth = {1: 1, 2: 2, 3: 3, 4: 1}
+        for name, _ in impls:
+            assert results[name] == truth, name
     finally:
         if old:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
