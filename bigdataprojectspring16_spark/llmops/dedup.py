@@ -76,6 +76,15 @@ def prefix_filter_candidates(
         )
         .select("doc_id", "sz", "term", "rn")
     )
+    # The self-join EXPANDS the small posting table ~1000x; AQE sizes
+    # the join's input stages off the tiny postings and would coalesce
+    # them to one partition, serializing the expansion + the partial
+    # pair-aggregation. A user repartition by the join key is exempt
+    # from AQE coalescing and pins the fan-out (both sides derive from
+    # it, so the join stays co-partitioned — one pinned shuffle total).
+    prefix = prefix.repartition(
+        t.sparkSession.sparkContext.defaultParallelism, "term"
+    )
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"),
