@@ -114,6 +114,13 @@ def prefix_filter_candidates(
             >= need
         )
         .select("doc_a", "doc_b")
+        # Pin the caller's verify fan-out: the surviving candidate set
+        # is small enough for AQE to coalesce the downstream exact-
+        # verify (which re-expands cost per row via array ops) onto
+        # too few cores.
+        .repartition(
+            t.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
     )
 
 
@@ -418,29 +425,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ]
     )
-    bands = fp.select("doc_id", "bits", F.explode(band_structs).alias("bs")).select(
-        "doc_id", "bits", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    bands = (
+        fp.withColumn("fp", F.conv(F.col("bits"), 2, 10).cast("long"))
+        .select("doc_id", "fp", F.explode(band_structs).alias("bs"))
+        .select(
+            "doc_id", "fp", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+        # Pin the band self-join's fan-out: the per-doc band table is
+        # tiny (4 rows/doc) so AQE would coalesce the join inputs to
+        # one partition and serialize the candidate expansion.
+        .repartition(spark.sparkContext.defaultParallelism, "band", "sig")
     )
     cand = (
         bands.select(
-            F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"), "band", "sig"
+            F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "band", "sig"
         )
         .join(
             bands.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("bits").alias("bits_b"),
-                "band",
-                "sig",
+                F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "band", "sig"
             ),
             ["band", "sig"],
         )
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "bits_a", "bits_b")
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
         .distinct()
     )
-    hamming = F.expr(
-        "size(filter(sequence(1, 32), i -> substr(bits_a, i, 1) != substr(bits_b, i, 1)))"
-    )
+    # Hamming distance as bit_count(xor) on the integer fingerprint —
+    # one ALU op per pair instead of 32 substring comparisons;
+    # identical arithmetic to the oracle's per-character filter.
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .where(F.col("hamming") <= 2)
