@@ -48,12 +48,22 @@ def blocked_all_pairs(
     BroadcastNestedLoopJoin (tests/test_plan_shapes.py asserts it).
     """
     all_blocks = F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
-    l = left.withColumn(
-        "_ba", F.pmod(F.hash(F.col(id_left)), F.lit(n_blocks))
-    ).withColumn("_bb", all_blocks)
-    r = right.withColumn(
-        "_bb", F.pmod(F.hash(F.col(id_right)), F.lit(n_blocks))
-    ).withColumn("_ba", all_blocks)
+    # The replicated inputs are 2·n·B small rows while the join output
+    # is n² — AQE would size the join stage off the inputs and
+    # coalesce the B² tiles onto a few cores, defeating the tiling;
+    # a user repartition on the tile key is exempt from coalescing
+    # and keeps the join co-partitioned (no further exchange).
+    parallelism = left.sparkSession.sparkContext.defaultParallelism
+    l = (
+        left.withColumn("_ba", F.pmod(F.hash(F.col(id_left)), F.lit(n_blocks)))
+        .withColumn("_bb", all_blocks)
+        .repartition(parallelism, "_ba", "_bb")
+    )
+    r = (
+        right.withColumn("_bb", F.pmod(F.hash(F.col(id_right)), F.lit(n_blocks)))
+        .withColumn("_ba", all_blocks)
+        .repartition(parallelism, "_ba", "_bb")
+    )
     return (
         l.join(r, ["_ba", "_bb"])
         .where(F.col(id_left) < F.col(id_right))
