@@ -250,3 +250,25 @@ def test_skew_join_does_not_force_broadcast_customer(spark):
     df = joins.join_skew_events_customers(spark, SF_DIR)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_near_jaccard",
+        "dedup_ngram_jaccard",
+        "dedup_edit_distance",
+        "sim_pairs_threshold",
+        "dedup_embedding_cosine",
+    ],
+)
+def test_pair_expansion_parallelism_is_pinned(spark, name):
+    """Regression guard for the r2 AQE trap: these plans expand small
+    inputs ~1000x, and AQE sizes their stages off the SMALL side, so
+    without an explicit user repartition (exempt from coalescing) the
+    expansion runs nearly serially. The optimized plan must carry at
+    least one user RepartitionByExpression."""
+    plan = _optimized(QUERIES[name](spark, SF_DIR))
+    assert "RepartitionByExpression" in plan, name
