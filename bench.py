@@ -64,12 +64,18 @@ def main() -> None:
         timings[key] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # The r1 baseline (BASELINE.md) covers only the first 12 keys; the
+    # 4 LLM-ops keys were added in r2 with their own baseline section.
+    # Report the original-12 subtotal so cross-round totals stay
+    # comparable against the right anchor.
+    original12 = round(sum(timings[k] for k in HEADLINE[:12] if k in timings), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_best_of_%d" % RUNS,
                 "value": total,
                 "unit": "sec",
+                "original12_sec": original12,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
