@@ -92,7 +92,13 @@ def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: for each node u, connect every strictly
-    larger neighbor to min(Γ(u) ∪ {u})."""
+    larger neighbor to min(Γ(u) ∪ {u}).
+
+    Emits WITHOUT a distinct: the output has at most one row per
+    directed (u, v) input pair, so there is no blowup, and the
+    following small-star round's aggregates are duplicate-insensitive
+    (min) — the round's single trailing distinct dedups everything.
+    """
     nbr = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -104,21 +110,22 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient each edge larger→smaller, then for
     each node u connect its smaller neighbors AND u itself to
-    min(Γ⁻(u) ∪ {u})."""
-    e = (
-        edges.select(
-            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    min(Γ⁻(u) ∪ {u}).
+
+    Tolerates duplicate input rows (min is duplicate-insensitive;
+    row counts stay bounded by the input size) and dedups once at
+    the end — together with large-star's distinct-free emit this
+    keeps each full round at the minimal four keyed shuffles.
+    """
+    e = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v"))
     mins = e.groupBy("u").agg(F.min("v").alias("m"))
     folded = e.join(mins, "u").select(F.col("v").alias("src"), F.col("m").alias("dst"))
     self_edge = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
@@ -159,15 +166,31 @@ def cc_with_rounds(
         .distinct()
         .localCheckpoint()
     )
+
+    def sig(df: DataFrame):
+        # (row count, order-insensitive hash sum): one cheap narrow
+        # aggregate over the checkpointed edges.
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)), F.sum(F.xxhash64("src", "dst"))
+            ).first()
+        )
+
+    prev_sig = sig(e)
     rounds = 0
     for _ in range(MAX_ITERATIONS):
         rounds += 1
         new = _small_star(_large_star(e)).localCheckpoint()
-        changed = (
-            new.exceptAll(e).unionByName(e.exceptAll(new)).limit(1).count()
+        # Convergence probe in two tiers: a narrow signature aggregate
+        # every round (no shuffle), and only on signature equality the
+        # exact set comparison that proves the fixpoint — so the
+        # expensive probe runs once, at convergence, not per round.
+        new_sig = sig(new)
+        converged = new_sig == prev_sig and (
+            new.exceptAll(e).unionByName(e.exceptAll(new)).limit(1).count() == 0
         )
-        e, old = new, e
-        if changed == 0:
+        e, prev_sig = new, new_sig
+        if converged:
             break
     # Fixpoint is a star per component: src (member) -> dst (= root,
     # the component min). Roots and isolated nodes label themselves.
