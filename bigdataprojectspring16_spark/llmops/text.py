@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import fan_out_small_scan, load_table
 
 #: Marker-stopword profiles for the n-gram/stopword language-ID
 #: heuristic. Real top-frequency function words per language; the
@@ -198,7 +198,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, shuffle only on the tiny (doc, cand) rank + final
     count, so the shape holds at 100 TB.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     profiles = spark.createDataFrame(
         [(lang, words) for lang, words in sorted(LANG_PROFILES.items())],
         "cand string, words array<string>",
@@ -377,7 +377,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint. All work is partitioned by doc_id — the window
     never crosses docs, so the op scales linearly.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id",
         F.posexplode(
@@ -494,7 +494,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured fixture invariant (SURVEY §1.2), reused as the
     denominator without a third pass.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     chars = d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),

@@ -58,6 +58,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Fixture-scale escape hatch for compute-heavy narrow maps.
+
+    A small single-row-group parquet file scans as ONE partition, so
+    a per-row-expensive pipeline (rolling hashes, profile scoring)
+    serializes on one core no matter how many are free. When — and
+    only when — the plan's scan parallelism is below the session's
+    core count, round-robin repartition to fan the compute out. At
+    production scale inputs carry ≥ cores splits, the branch is not
+    taken, and NO shuffle is added — this never trades a 100 TB
+    shuffle for fixture-scale latency.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def ts_seconds(col: Column) -> Column:
     """Epoch seconds of a timestamp column, robust to NTZ vs LTZ.
 
