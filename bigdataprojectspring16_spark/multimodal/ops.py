@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import fan_out_small_scan, load_table
 
 #: Fixed feature dimension for the fake feature extractor.
 FEATURE_DIM = 16
@@ -243,7 +243,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism and partition-invariance are asserted in
     tests/test_multimodal.py instead.
     """
-    assets = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    assets = with_binary_payload(
+        fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    )
     return extract_features(assets)
 
 
