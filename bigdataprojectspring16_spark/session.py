@@ -37,15 +37,20 @@ ENGINE_CONFS: dict[str, str] = {
     # ANSI off: we want NULL-on-bad-cast like DuckDB's TRY semantics
     # for the few places we cast strings (json props → int).
     "spark.sql.ansi.enabled": "false",
+    # Runtime-settable: a driver-built session defaults to 200 shuffle
+    # partitions, which at sf0.01 means ~170 empty tasks of pure
+    # scheduling latency per shuffle across a 133-key sweep. AQE
+    # coalescing hides most of it, but asserting the tuned value keeps
+    # externally-built sessions on the same cost model as ours.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
 }
 
 #: Startup-only configs (not runtime settable) used when WE build the
 #: session (tests / bench). On a real cluster these come from
 #: spark-submit; sized here for local[32] with 128 GiB.
 _STARTUP_CONFS: dict[str, str] = {
-    "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
-    ),
     "spark.driver.memory": "8g",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
