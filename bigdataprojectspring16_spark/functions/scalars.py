@@ -406,10 +406,10 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
         lang,
-        sum(n_long) AS long_tokens,
+        CAST(sum(n_long) AS BIGINT) AS long_tokens,
         count(*) FILTER (has_marker) AS docs_with_marker,
         CAST(min(CAST(all_nonempty AS INT)) AS BOOLEAN) AS every_doc_clean,
-        sum(total_tok_chars) AS total_chars
+        CAST(sum(total_tok_chars) AS BIGINT) AS total_chars
     FROM per_doc GROUP BY lang
     """,
 )
@@ -483,8 +483,8 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_bitwise",
     oracle="""
     SELECT o_orderstatus,
-           sum(o_orderkey & 15) AS sum_low_nibble,
-           sum((o_orderkey >> 4) & 15) AS sum_next_nibble,
+           CAST(sum(o_orderkey & 15) AS BIGINT) AS sum_low_nibble,
+           CAST(sum((o_orderkey >> 4) & 15) AS BIGINT) AS sum_next_nibble,
            bit_xor(o_orderkey) AS xor_keys,
            bit_or(o_orderkey & 255) AS or_low_byte,
            bit_and(o_orderkey | 4095) AS and_key_mask
@@ -521,8 +521,8 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
                AS n_numeric,
            count(TRY_CAST(event_type AS INTEGER)) AS n_bogus,
-           sum(coalesce(TRY_CAST(json_extract_string(props, '$.k')
-                                 AS INTEGER), 0)) AS sum_k
+           CAST(sum(coalesce(TRY_CAST(json_extract_string(props, '$.k')
+                                      AS INTEGER), 0)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )

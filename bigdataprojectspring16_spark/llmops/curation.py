@@ -122,9 +122,10 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         min(n_chars) AS min_chars,
         max(n_chars) AS max_chars,
         round(avg(n_chars), 4) AS avg_chars,
-        sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS empty_texts,
-        sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
-            AS n_chars_mismatch
+        CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+             AS BIGINT) AS empty_texts,
+        CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_chars_mismatch
     FROM documents
     """,
 )
@@ -357,7 +358,7 @@ def clean_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
         SELECT source, lang,
                count(*) AS n_docs,
-               sum(len(string_split(text, ' '))) AS n_tokens
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source, lang
     ),
     tot AS (SELECT sum(n_tokens) AS total_tokens FROM per)

@@ -284,7 +284,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.lang,
            count(*) AS n_survivors,
-           sum(d.n_chars) AS total_chars
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
     FROM keep JOIN documents d ON d.doc_id = keep.kept_id
     GROUP BY d.lang
     """,

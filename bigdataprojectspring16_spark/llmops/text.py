@@ -309,8 +309,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         lang,
         count(*) AS n_docs,
-        sum(len(string_split(text, ' '))) AS ws_tokens,
-        sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS re_tokens,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        CAST(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))
+             AS BIGINT) AS re_tokens,
         round(avg(len(string_split(text, ' '))), 4) AS avg_ws_tokens,
         round(avg(CAST(length(text) AS DOUBLE)
                   / len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))), 4
@@ -411,8 +412,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(toks_before) AS total_toks_before,
-           sum(toks_after) AS total_toks_after,
+           CAST(sum(toks_before) AS BIGINT) AS total_toks_before,
+           CAST(sum(toks_after) AS BIGINT) AS total_toks_after,
            round(1.0 - sum(toks_after) / CAST(sum(toks_before) AS DOUBLE), 6)
                AS removed_ratio
     FROM cleaned
@@ -544,7 +545,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_flagged,
            round(avg(CAST(n_hits AS DOUBLE) / n_grams), 4)
                AS avg_contamination,
-           sum(n_hits) AS total_hits
+           CAST(sum(n_hits) AS BIGINT) AS total_hits
     FROM scored GROUP BY lang
     """,
 )

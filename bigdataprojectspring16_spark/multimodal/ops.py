@@ -211,7 +211,7 @@ def sample_frames(assets: DataFrame, frame_size: int = 64, every: int = 4) -> Da
     SELECT
         source,
         count(*) AS n_assets,
-        sum(octet_length(encode(text))) AS total_bytes,
+        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         count(DISTINCT sha256(text)) AS distinct_payloads,
         round(avg(octet_length(encode(text))), 4) AS avg_bytes
     FROM documents

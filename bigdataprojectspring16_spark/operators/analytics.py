@@ -261,10 +261,10 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts, value,
-               sum(is_new) OVER (
+               CAST(sum(is_new) OVER (
                    PARTITION BY user_id ORDER BY ts, is_new DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_no
+               ) AS BIGINT) AS session_no
         FROM marked
     )
     SELECT user_id, session_no,

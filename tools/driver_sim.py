@@ -1,8 +1,22 @@
 """Simulate the driver's t1 smoke + t2 oracle gate through the public
 surface: import __spark_entry__, run entry(), then every queries() key
 at sf0.01 vs oracle_sql() in DuckDB (row-count + schema + order-
-insensitive value-hash)."""
+insensitive value-hash).
+
+Type-faithful comparison (VERDICT.md r2 item 3): the r2 driver flagged
+5 keys whose *values* matched but whose oracle column came back as
+DuckDB HUGEINT (int128) — a representation the old `%.6g`/`str()`
+normalizer was blind to. The oracle side is now fetched via `.arrow()`
+(HUGEINT -> decimal128, int64 stays int64, NULLs stay NULL) and every
+value is hashed with a TYPE TAG, so an int64 `6` and a decimal128 `6`
+hash differently — exactly the sensitivity the real driver showed.
+Floats keep the tolerant `%.6g` rendering (both engines emit float64
+for the same expressions; only aggregation-order jitter differs).
+"""
+import datetime
+import decimal
 import hashlib
+import math
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -33,19 +47,50 @@ oracles = mod.oracle_sql()
 
 
 def norm(v):
+    """Type-tagged canonical rendering. bool before int (bool is an
+    int subclass); Decimal tagged distinctly from int so a HUGEINT
+    oracle column can never silently match a Spark BIGINT."""
     if v is None:
         return "\x00"
+    if isinstance(v, bool):
+        return "b:" + str(v)
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
-        return f"{v:.6g}"
-    if isinstance(v, list):
+        if math.isnan(v):
+            return "\x00"
+        return f"f:{v:.6g}"
+    if isinstance(v, decimal.Decimal):
+        return "d:" + str(v)
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={norm(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, datetime.datetime):
+        return "t:" + v.isoformat()
+    if isinstance(v, datetime.date):
+        return "D:" + v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    return "s:" + str(v)
 
 
 def value_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def first_diff(srows, scols, orows, ocols):
+    """Best-effort pointer at the first differing canonical line."""
+    so = sorted(range(len(scols)), key=lambda i: scols[i])
+    oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    slines = sorted("|".join(norm(r[i]) for i in so) for r in srows)
+    olines = sorted("|".join(norm(r[i]) for i in oo) for r in orows)
+    for a, b in zip(slines, olines):
+        if a != b:
+            return f"spark={a!r} oracle={b!r}"
+    return f"lengths {len(slines)} vs {len(olines)}"
 
 
 only = set(sys.argv[1:])
@@ -59,17 +104,25 @@ for name in sorted(only or queries):
         status = f"rows-only ({len(srows)} rows)"
         ok = len(srows) >= 0
     else:
-        ores = con.execute(oracles[name])
-        ocols = [d[0] for d in ores.description]
-        orows = [tuple(r) for r in ores.fetchall()]
+        # .arrow() is the type-faithful path: DuckDB HUGEINT becomes
+        # decimal128(38,0) (Python Decimal), int64 stays int, NULLs in
+        # int columns stay None (a pandas .df() would coerce the whole
+        # column to float64).
+        otab = con.execute(oracles[name]).arrow()
+        ocols = otab.column_names
+        opy = otab.to_pylist()
+        orows = [tuple(d[c] for c in ocols) for d in opy]
         ok = (
             len(srows) == len(orows)
             and sorted(scols) == sorted(ocols)
             and value_hash(srows, scols) == value_hash(orows, ocols)
         )
-        status = "MATCH" if ok else (
-            f"MISMATCH rows {len(srows)}vs{len(orows)} cols {sorted(scols)}vs{sorted(ocols)}"
-        )
+        if ok:
+            status = "MATCH"
+        elif len(srows) != len(orows) or sorted(scols) != sorted(ocols):
+            status = f"MISMATCH rows {len(srows)}vs{len(orows)} cols {sorted(scols)}vs{sorted(ocols)}"
+        else:
+            status = "HASH MISMATCH " + first_diff(srows, scols, orows, ocols)
     print(f"{'OK ' if ok else 'FAIL'} {name}: {status}")
     if not ok:
         fails.append(name)
