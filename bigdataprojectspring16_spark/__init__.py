@@ -18,19 +18,67 @@ from .sql import PORTABLE_SQL_KEYS, register_views
 from .tables import TABLE_NAMES, load_tables
 from .registry import QUERIES, ORACLES, query
 
-# Importing the operator modules populates the registry.  Registration
-# order == dict order == the order the driver's verify walks the keys,
-# and round 1's driver run was truncated after 50 entries
-# (CORRECTNESS_r01.json stops at `set_union_all`).  The categories the
-# driver has NOT yet hash-checked therefore import FIRST so a truncated
-# round 2 run still covers them; the 49 already-green A-F keys re-verify
-# last.  See VERDICT.md "Next round" item 1.
-from .operators import setops, analytics  # noqa: F401  (G tail + M — unchecked)
-from .functions import scalars, udfs  # noqa: F401  (H, I — unchecked)
-from .streaming import batch_windows  # noqa: F401  (J — unchecked)
-from .llmops import curation, dedup, graph, similarity, text  # noqa: F401  (K — unchecked)
-from .multimodal import ops as multimodal_ops  # noqa: F401  (L — unchecked)
-from .operators import scans, projection, joins, aggregates, windows, sorts  # noqa: F401  (A-F — driver-green r1)
+# Importing the operator modules populates the registry.
+from .operators import setops, analytics  # noqa: F401
+from .functions import scalars, udfs  # noqa: F401
+from .streaming import batch_windows  # noqa: F401
+from .llmops import curation, dedup, graph, similarity, text  # noqa: F401
+from .multimodal import ops as multimodal_ops  # noqa: F401
+from .operators import scans, projection, joins, aggregates, windows, sorts  # noqa: F401
+
+# Registry order == the order the driver's verify walks the keys, and
+# each round's driver run is capped at 50 entries (CORRECTNESS_r01/r02
+# each contain exactly 50).  Key-level prioritization for round 3
+# (VERDICT.md r2 "Next round" items 1-2):
+#   1. The 34 keys NEVER inside a driver window (all of K except the
+#      3 checked in r2, plus all of L) — the LLM-ops half of the
+#      engine has zero hard correctness signal until these run.
+#   2. The 5 r2-red keys whose HUGEINT oracle columns were fixed this
+#      round — they must re-verify green.
+#   3. 11 re-verification slots: keys whose modules/oracles changed
+#      this round or that were last checked in r1 and exercise the
+#      session-conf code path changed this round (ADVICE.md item 4:
+#      anything modified in the current round verifies FIRST, not
+#      last).  Everything else follows in module-registration order.
+_DRIVER_WINDOW_PRIORITY = [
+    # -- group 1: never driver-checked (30 K + 4 L) --
+    "dedup_exact_docs", "dedup_near_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_edit_distance", "clean_impute_nulls", "clean_outlier_zscore",
+    "profile_embeddings", "clean_outlier_iqr", "corpus_mix_report",
+    "graph_connected_components", "graph_cluster_keep_best",
+    "sim_knn_cosine", "sim_pairs_threshold", "knn_per_label_centroid",
+    "multimodal_join", "sim_ann_lsh", "sim_centroid_assign",
+    "text_lang_stats", "text_tfidf_topterms", "text_langid",
+    "text_quality_score", "text_token_count", "text_fingerprint",
+    "text_clean_stopwords", "text_char_entropy", "text_decontaminate",
+    "text_repetition_ratio",
+    "multimodal_binary_stats", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_bin_packing",
+    # -- group 2: r2-red, oracle fixed this round --
+    "profile_documents", "sessionize_gap_batch", "array_hof",
+    "scalar_bitwise", "scalar_try_cast",
+    # -- group 3: re-verify (r1-only checks touching this round's
+    #    session/tables changes, plus the flagship) --
+    "agg_pricing_summary", "join_skew_events_customers",
+    "join_broadcast", "join_multiway_star", "join_asof",
+    "window_rank_topn", "limit_topk", "sample_stratified",
+    "agg_percentiles", "sort_multikey", "join_full_outer",
+]
+
+
+def _prioritize(priority: list[str]) -> None:
+    missing = [k for k in priority if k not in QUERIES]
+    if missing:
+        raise ValueError(f"unknown priority keys: {missing}")
+    order = priority + [k for k in QUERIES if k not in set(priority)]
+    for d in (QUERIES, ORACLES):
+        snapshot = dict(d)
+        d.clear()
+        d.update({k: snapshot[k] for k in order if k in snapshot})
+
+
+_prioritize(_DRIVER_WINDOW_PRIORITY)
 
 __all__ = [
     "get_session",

@@ -61,7 +61,16 @@ def prefix_filter_candidates(
     Input ``t``: (doc_id, set_col); output: (doc_a, doc_b) with
     doc_a < doc_b, a superset of the true ≥-threshold pairs to be
     exact-verified by the caller.
+
+    Rounding guard: callers (and the DuckDB oracles) apply the final
+    filter as ``round(J, 6) >= threshold``, which admits raw J down to
+    threshold − 5e-7.  All three prunes therefore cut at
+    ``threshold − 1e-6`` — strictly below the rounding half-width —
+    so a pair that passes the rounded filter can never be pruned from
+    the candidate set (needs ~1e6+ distinct set elements to matter;
+    unreachable at fixture scale, conceivable at production scale).
     """
+    threshold = threshold - 1e-6
     tok = t.select(
         "doc_id", F.size(set_col).alias("sz"), F.explode(set_col).alias("term")
     )
@@ -301,11 +310,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Lossless length prune (PPJoin): J >= 0.95 forces the set
         # sizes within 5% of each other — drop impossible candidates
-        # before the expensive exact-verify join.
+        # before the expensive exact-verify join.  Cut 1e-6 below the
+        # threshold so the rounded final filter (round(J,6) >= 0.95)
+        # can never admit a pair this prune dropped.
         .where(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("sz_b") >= 0.95 * F.col("sz_a"))
-            & (F.col("sz_a") >= 0.95 * F.col("sz_b"))
+            & (F.col("sz_b") >= (0.95 - 1e-6) * F.col("sz_a"))
+            & (F.col("sz_a") >= (0.95 - 1e-6) * F.col("sz_b"))
         )
         .select("doc_a", "doc_b")
         .distinct()

@@ -37,21 +37,32 @@ ENGINE_CONFS: dict[str, str] = {
     # ANSI off: we want NULL-on-bad-cast like DuckDB's TRY semantics
     # for the few places we cast strings (json props → int).
     "spark.sql.ansi.enabled": "false",
-    # Runtime-settable: a driver-built session defaults to 200 shuffle
-    # partitions, which at sf0.01 means ~170 empty tasks of pure
-    # scheduling latency per shuffle across a 133-key sweep. AQE
-    # coalescing hides most of it, but asserting the tuned value keeps
-    # externally-built sessions on the same cost model as ours.
-    "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
-    ),
 }
+
+#: Local-test shuffle sizing.  A session left at Spark's UNTUNED
+#: default (200) pays ~170 empty tasks of scheduling latency per
+#: shuffle at sf0.01, so :func:`ensure_session_confs` lowers it to 32
+#: — but ONLY when the current value is exactly the stock default.
+#: A host that tuned shuffle.partitions itself (any non-200 value —
+#: e.g. thousands on a 1000-executor cluster) is never clobbered:
+#: AQE can only coalesce DOWN from this value, so force-setting 32
+#: on a real cluster would cap shuffle parallelism (ADVICE.md r2,
+#: session.py:45).
+_SHUFFLE_PARTITIONS_KEY = "spark.sql.shuffle.partitions"
+_SPARK_STOCK_SHUFFLE_PARTITIONS = "200"
+_TUNED_SHUFFLE_PARTITIONS = os.environ.get(
+    "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+)
 
 #: Startup-only configs (not runtime settable) used when WE build the
 #: session (tests / bench). On a real cluster these come from
 #: spark-submit; sized here for local[32] with 128 GiB.
 _STARTUP_CONFS: dict[str, str] = {
     "spark.driver.memory": "8g",
+    # Tuned directly when WE build the session; externally-built
+    # sessions only get this if they sit at the stock default (see
+    # ensure_session_confs).
+    _SHUFFLE_PARTITIONS_KEY: _TUNED_SHUFFLE_PARTITIONS,
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
@@ -68,22 +79,57 @@ _STARTUP_CONFS: dict[str, str] = {
 #: keys of pure overhead (VERDICT.md "Next round" item 1).
 _CONFS_ASSERTED: weakref.WeakSet = weakref.WeakSet()
 
+#: Sentinel conf re-checked on EVERY call (one py4j RPC): the session
+#: timezone is the single most correctness-critical conf (SURVEY
+#: §5.3).  If the host or a test mutates it after our first assert,
+#: the drift invalidates the cache and the full conf set is
+#: re-asserted (ADVICE.md r2, session.py:79).
+_SENTINEL_CONF = "spark.sql.session.timeZone"
+
+
+def invalidate_conf_cache(spark: SparkSession | None = None) -> None:
+    """Drop the per-session assert cache (all sessions, or one).
+
+    Call from any code path that deliberately mutates session confs so
+    the next query re-asserts the engine's correctness set.
+    """
+    if spark is None:
+        _CONFS_ASSERTED.clear()
+    else:
+        _CONFS_ASSERTED.discard(spark)
+
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Assert the runtime-settable engine confs on an existing session.
 
     Every query function calls this, so correctness (TZ, AQE, Arrow)
     holds even when the driver — not us — built the SparkSession.
-    Idempotent and cached per live session object.
+    Cached per live session object, with a one-RPC sentinel probe per
+    call so external conf mutation is detected and repaired.
     """
     if spark in _CONFS_ASSERTED:
-        return spark
+        try:
+            if spark.conf.get(_SENTINEL_CONF, None) == ENGINE_CONFS[_SENTINEL_CONF]:
+                return spark
+        except Exception:
+            return spark
+        _CONFS_ASSERTED.discard(spark)  # drifted — re-assert everything
     for k, v in ENGINE_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build — startup value wins
+    try:
+        # Lower ONLY the stock default; never clobber host tuning.
+        if (
+            spark.conf.get(_SHUFFLE_PARTITIONS_KEY, None)
+            == _SPARK_STOCK_SHUFFLE_PARTITIONS
+            != _TUNED_SHUFFLE_PARTITIONS
+        ):
+            spark.conf.set(_SHUFFLE_PARTITIONS_KEY, _TUNED_SHUFFLE_PARTITIONS)
+    except Exception:
+        pass
     _CONFS_ASSERTED.add(spark)
     return spark
 
