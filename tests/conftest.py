@@ -8,6 +8,7 @@ ever does (SURVEY §5.2.1).
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 import os
 
@@ -39,23 +40,38 @@ def ddb():
 
 
 def _norm_cell(v):
-    """Normalize a value for cross-engine comparison."""
+    """Normalize a value for cross-engine comparison — TYPE-FAITHFUL.
+
+    Every scalar carries a type tag so representation mismatches the
+    real driver flags (e.g. a DuckDB HUGEINT sum arriving as
+    decimal128 while Spark emits int64) fail here too, even when the
+    numeric values are equal (VERDICT.md r2 item 3: Decimal(6) == 6
+    in Python, so an untagged comparison is blind to the class).
+    """
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         # collapse -0.0 and ulp drift beyond declared rounding
-        return round(v, 9) + 0.0
+        return ("f", round(v, 9) + 0.0)
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, list):
+        return ("D", v.isoformat())
+    if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, bytes):
-        return v.hex()
-    return v
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return ("x", bytes(v).hex())
+    return ("s", str(v))
 
 
 def _sorted_rows(cols, rows):
@@ -71,9 +87,13 @@ def assert_matches_oracle(spark, ddb, query_fn, oracle: str, sf_dir: str = SF_DI
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    res = ddb.execute(oracle)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    # .arrow() is the type-faithful fetch: HUGEINT -> decimal128
+    # (Python Decimal), int64 stays int, NULLs in int columns stay
+    # None — exactly the representations the driver compares against
+    # (a fetchall() int would mask the HUGEINT class entirely).
+    d_tab = ddb.execute(oracle).arrow()
+    d_cols = list(d_tab.column_names)
+    d_rows = [tuple(d[c] for c in d_cols) for d in d_tab.to_pylist()]
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
