@@ -118,8 +118,8 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         round(sum(sqrt(l_extendedprice)), 4) AS sum_sqrt_price,
         round(avg(ln(l_extendedprice)), 6) AS avg_ln_price,
         round(avg(log10(l_extendedprice)), 6) AS avg_log10_price,
-        round(sum(ceil(l_quantity)), 1) AS sum_ceil_qty,
-        round(sum(floor(l_quantity)), 1) AS sum_floor_qty,
+        round(sum(CAST(ceil(l_quantity) AS DOUBLE)), 1) AS sum_ceil_qty,
+        round(sum(CAST(floor(l_quantity) AS DOUBLE)), 1) AS sum_floor_qty,
         round(sum(abs(l_discount - 0.05)), 6) AS sum_abs_disc_dev,
         round(avg(CAST(sign(l_discount - 0.05) AS DOUBLE)), 6) AS avg_sign_disc,
         round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq,
