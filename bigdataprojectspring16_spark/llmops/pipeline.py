@@ -1,0 +1,466 @@
+"""Training-data pipeline operators, round 3 additions (SURVEY §2.K).
+
+Six operators a 100 TB pretraining-data pipeline runs between raw
+corpus and tokenizer, beyond the r1/r2 dedup/similarity/text set:
+unigram-LM quality scoring, n-gram novelty (corpus-level freshness),
+per-source duplicate-rate reporting, robust winsorization, batch
+top-k retrieval per centroid, and int8 embedding-quantization QA.
+
+Design rules carried over (SURVEY §4): every plan is a declarative
+DataFrame composition — keyed shuffles only, broadcast for
+constant-size side tables (dim scales, centroids, fences), no
+driver-side state, no Python in the hot path.  DuckDB oracles follow
+the HUGEINT discipline (integer sums CAST to BIGINT; counts are
+already BIGINT) established in round 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import load_table
+from .similarity import dot
+
+
+@query(
+    "text_perplexity_unigram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    vocab AS (
+        SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM toks GROUP BY term
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+    per_doc AS (
+        SELECT t.doc_id, t.lang, avg(-ln(v.cnt / total)) AS nll
+        FROM toks t JOIN vocab v USING (term) CROSS JOIN tot
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(nll), 6) AS avg_nll,
+           round(min(nll), 6) AS min_nll,
+           round(max(nll), 6) AS max_nll
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM self-scoring: train token probabilities on the
+    corpus itself, score each doc by mean negative log-likelihood —
+    the classic cheap LM-quality filter (high NLL = rare-token soup,
+    low NLL = stopword mush; both tails get reviewed before
+    training).
+
+    Two aggregations and one join, all linear: (1) token histogram
+    (map-side combinable), (2) a one-row total broadcast, (3) a
+    term-keyed join of the token stream against the vocabulary —
+    at 100 TB this is the only shuffle that scales with corpus size,
+    and its key distribution IS the token distribution, so AQE's
+    skew-join splitting handles the stopword head; the vocabulary
+    side is unique-per-term and merge-friendly. Per-doc and per-lang
+    rollups ride the doc_id/lang keys.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    per_doc = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("cnt") / F.col("total"))).alias("nll"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.min("nll"), 6).alias("min_nll"),
+        F.round(F.max("nll"), 6).alias("max_nll"),
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               ))) AS gram
+        FROM t WHERE len(toks) >= 3
+    ),
+    first_seen AS (
+        SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+        SELECT g.doc_id, g.lang,
+               count(*) AS n_grams,
+               count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS n_novel
+        FROM grams g JOIN first_seen f USING (gram)
+        GROUP BY g.doc_id, g.lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(CAST(n_novel AS DOUBLE) / n_grams), 6) AS avg_novelty,
+           count(CASE WHEN n_novel = n_grams THEN 1 END) AS n_fully_novel,
+           count(CASE WHEN CAST(n_novel AS DOUBLE) / n_grams < 0.1 THEN 1 END)
+               AS n_rehash
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty: for each doc, the fraction of its
+    distinct word-3-grams first introduced BY that doc (first
+    occurrence = lowest doc_id).  Dup-cluster members after the
+    cluster head score near zero — a corpus-freshness census that
+    catches template spam and boilerplate that pairwise dedup rates
+    by a different axis (no pair join at all).
+
+    Shape: narrow gram expansion (``transform`` over a 1-based
+    ``sequence``, mirroring the oracle's ``generate_series``), one
+    gram-keyed aggregation for first-seen, one gram-keyed join back,
+    then doc/lang rollups — linear in total gram count, the
+    first-seen table is map-side combinable min().  Docs with < 3
+    tokens are excluded (no gram to judge; also keeps Spark's
+    descending-``sequence`` edge case unreachable).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    gram_at = lambda i: F.concat_ws(
+        " ",
+        F.element_at("toks", i),
+        F.element_at("toks", i + 1),
+        F.element_at("toks", i + 2),
+    )
+    grams = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2), gram_at
+                )
+            )
+        ).alias("gram"),
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+            ).alias("n_novel"),
+        )
+    )
+    novelty = F.col("n_novel").cast("double") / F.col("n_grams")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(novelty), 6).alias("avg_novelty"),
+        F.count(
+            F.when(F.col("n_novel") == F.col("n_grams"), 1)
+        ).alias("n_fully_novel"),
+        F.count(F.when(novelty < 0.1, 1)).alias("n_rehash"),
+    )
+
+
+@query(
+    "dedup_dup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), '|'
+               )) AS set_fp
+        FROM documents
+    ),
+    grp AS (SELECT set_fp, count(*) AS n_same FROM fp GROUP BY set_fp)
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT fp.set_fp) AS distinct_sets,
+           count(CASE WHEN n_same >= 2 THEN 1 END) AS n_dup_docs,
+           round(CAST(count(CASE WHEN n_same >= 2 THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS dup_rate
+    FROM fp JOIN grp USING (set_fp)
+    GROUP BY source
+    """,
+)
+def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication census on token-SET fingerprints (the
+    fixtures have zero byte-exact dups but ~21% token-set dups at
+    sf0.1 — measured 5000 docs / 3935 distinct sets): which ingest
+    sources ship how much reshuffled-duplicate content.  The report a
+    crawl-source triage reads before anyone runs the expensive
+    pairwise near-dup sweeps.
+
+    The fingerprint is md5 over the sorted distinct token list —
+    identical-set contraction's key, computed as a narrow map.  Two
+    keyed aggregations (fingerprint census, source rollup) and one
+    fingerprint-keyed join; the shuffle key is the 128-bit digest,
+    never the text, so payload bytes cross the wire exactly zero
+    times at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                "|", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("set_fp"),
+    )
+    grp = fp.groupBy("set_fp").agg(F.count(F.lit(1)).alias("n_same"))
+    dup = F.when(F.col("n_same") >= 2, 1)
+    return (
+        fp.join(grp, "set_fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("set_fp")).alias("distinct_sets"),
+            F.count(dup).alias("n_dup_docs"),
+            F.round(
+                F.count(dup).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "clean_winsorize",
+    oracle="""
+    WITH fences AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    ),
+    clipped AS (
+        SELECT e.event_type, e.value,
+               least(greatest(e.value, f.lo), f.hi) AS cval,
+               CASE WHEN e.value < f.lo THEN 1 END AS is_lo,
+               CASE WHEN e.value > f.hi THEN 1 END AS is_hi
+        FROM events e JOIN fences f USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n,
+           count(is_lo) AS n_clipped_lo,
+           count(is_hi) AS n_clipped_hi,
+           round(avg(value), 6) AS mean_raw,
+           round(avg(cval), 6) AS mean_winsor,
+           round(stddev_samp(cval), 6) AS sd_winsor
+    FROM clipped GROUP BY event_type
+    """,
+)
+def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip ``events.value`` to the exact per-type
+    [p5, p95] band and report clip counts + moment shift — the
+    robust-statistics companion to ``clean_outlier_zscore`` (which
+    drops) and ``clean_outlier_iqr`` (which fences by quartiles):
+    winsorizing keeps the row but caps its leverage, the usual choice
+    for training-signal columns where row loss is worse than bias.
+
+    Exact interpolated ``percentile`` matches DuckDB
+    ``quantile_cont``; at 100 TB the drop-in is ``approx_percentile``
+    (mergeable sketch, same call shape — the `agg_percentiles`
+    precedent).  The fences frame is one row per event type —
+    broadcast back, so the clip pass is a narrow map over the scan;
+    two shuffles total (fence agg, report agg), both keyed on
+    event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    cval = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    clipped = ev.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "value",
+        cval.alias("cval"),
+        F.when(F.col("value") < F.col("lo"), 1).alias("is_lo"),
+        F.when(F.col("value") > F.col("hi"), 1).alias("is_hi"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("is_lo").alias("n_clipped_lo"),
+        F.count("is_hi").alias("n_clipped_hi"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg("cval"), 6).alias("mean_winsor"),
+        F.round(F.stddev_samp("cval"), 6).alias("sd_winsor"),
+    )
+
+
+@query(
+    "sim_topk_per_centroid",
+    oracle="""
+    WITH dims AS (
+        SELECT label, u.i AS pos, avg(CAST(embedding[u.i] AS DOUBLE)) AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY label, u.i
+    ),
+    cents AS (
+        SELECT label AS c_label, list(v ORDER BY pos) AS centroid
+        FROM dims GROUP BY label
+    ),
+    scored AS (
+        SELECT c_label, vec_id,
+               list_dot_product(CAST(embedding AS DOUBLE[]), centroid)
+                   / sqrt(list_dot_product(centroid, centroid)) AS cos,
+               row_number() OVER (
+                   PARTITION BY c_label
+                   ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             centroid) DESC, vec_id
+               ) AS rk
+        FROM embeddings CROSS JOIN cents
+    )
+    SELECT c_label AS label, rk, vec_id, round(cos, 6) AS cos
+    FROM scored WHERE rk <= 3
+    """,
+)
+def sim_topk_per_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MIPS: the top-3 nearest vectors to EVERY label centroid
+    in one pass — ``sim_knn_cosine`` retrieves for a single query
+    vector; this is the k-queries-at-once shape (labeling QA: which
+    concrete examples sit closest to each class prototype).
+
+    The centroid table is k×dim — constant in corpus size — so
+    scoring is a broadcast of k rows against a narrow scan: every
+    executor ranks its own partition and only k×3 candidate rows
+    per partition reach the final per-label top-k (Spark's window
+    TopK pushes the limit into the sort).  Vectors are L2-normalized
+    (measured ‖v‖=1, SURVEY §2.K), so cosine = dot / ‖centroid‖.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "raw")
+    ).groupBy("label", "pos").agg(
+        F.avg(F.col("raw").cast("double")).alias("v")
+    )
+    cents = (
+        dims.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s.v,
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "c_label",
+        "vec_id",
+        (
+            dot(F.col("embedding"), F.col("centroid"))
+            / F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+        ).alias("cos"),
+        dot(F.col("embedding"), F.col("centroid")).alias("raw_dot"),
+    )
+    w = Window.partitionBy("c_label").orderBy(
+        F.col("raw_dot").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("c_label").alias("label"),
+            "rk",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+@query(
+    "embeddings_quantize_int8",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label, u.i AS pos,
+               CAST(embedding[u.i] AS DOUBLE) AS v
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    scale AS (SELECT pos, max(abs(v)) AS amax FROM dims GROUP BY pos),
+    dq AS (
+        SELECT vec_id, label, v,
+               CASE WHEN amax > 0
+                    THEN round(127 * v / amax) * amax / 127
+                    ELSE 0.0 END AS w
+        FROM dims JOIN scale USING (pos)
+    ),
+    per_vec AS (
+        SELECT vec_id, label,
+               max(abs(v - w)) AS inf_err,
+               sum(v * w)
+                   / nullif(sqrt(sum(v * v)) * sqrt(sum(w * w)), 0) AS cos
+        FROM dq GROUP BY vec_id, label
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(inf_err), 6) AS avg_inf_err,
+           round(max(inf_err), 6) AS max_inf_err,
+           round(min(cos), 6) AS min_cos,
+           round(avg(cos), 6) AS avg_cos
+    FROM per_vec GROUP BY label
+    """,
+)
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization QA: quantize every embedding with
+    per-dimension absmax scales (``q = round(127·v/amax)``), then
+    report the reconstruction damage per label — max-abs error and
+    cosine(original, dequantized) — the go/no-go table before an ANN
+    index is rebuilt on compressed vectors.
+
+    The scale table is one row per dimension — constant size —
+    built by one (pos)-keyed aggregation over the exploded vectors
+    and broadcast back, so quantize + error measurement is a narrow
+    map over the (vec, dim) stream followed by a vec_id-keyed
+    rollup: two shuffles, both independent of corpus width.  All
+    arithmetic is pinned to DOUBLE on both engines (float32 inputs
+    promote identically), and zero-amax dimensions dequantize to 0
+    with a nullif-guarded cosine.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "raw")
+    ).select("vec_id", "label", "pos", F.col("raw").cast("double").alias("v"))
+    scale = dims.groupBy("pos").agg(F.max(F.abs(F.col("v"))).alias("amax"))
+    w = F.when(
+        F.col("amax") > 0,
+        F.round(127 * F.col("v") / F.col("amax")) * F.col("amax") / 127,
+    ).otherwise(F.lit(0.0))
+    dq = dims.join(F.broadcast(scale), "pos").select(
+        "vec_id", "label", "v", w.alias("w")
+    )
+    per_vec = dq.groupBy("vec_id", "label").agg(
+        F.max(F.abs(F.col("v") - F.col("w"))).alias("inf_err"),
+        (
+            F.sum(F.col("v") * F.col("w"))
+            / F.nullif(
+                F.sqrt(F.sum(F.col("v") * F.col("v")))
+                * F.sqrt(F.sum(F.col("w") * F.col("w"))),
+                F.lit(0.0),
+            )
+        ).alias("cos"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("inf_err"), 6).alias("avg_inf_err"),
+        F.round(F.max("inf_err"), 6).alias("max_inf_err"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+        F.round(F.avg("cos"), 6).alias("avg_cos"),
+    )
