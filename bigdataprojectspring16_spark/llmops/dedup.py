@@ -267,10 +267,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Recall vs the exact pairwise query is 1.0 at sf0.01 (measured;
     asserted ≥0.9 in tests/test_scale_paths.py).
+
+    Identical-set contraction (r3, the graph path's trick applied
+    here): ~21% of fixture docs share an identical token set
+    (measured 5000→3935 at sf0.1), and near-dup corpora are exactly
+    where that happens at scale.  Minhash signatures, band
+    membership, and Jaccard are all functions of the token SET, so
+    the pipeline runs on one representative per distinct set (the
+    min doc_id) and the result expands losslessly afterwards:
+    members of one group pair with jaccard exactly 1.0 (always
+    band-mates — identical signatures), and an inter-group member
+    pair is a candidate iff its representative pair is.  At sf0.1
+    this halves the verify load (1.85 M → 0.93 M candidate pairs)
+    and emits 35.6 k result pairs without touching a token array.
     """
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
+    full = d.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    fp = full.select(
+        "doc_id",
+        "toks",
+        F.md5(F.concat_ws("|", F.array_sort("toks"))).alias("sh"),
+    )
+    members = fp.groupBy("sh").agg(F.min("doc_id").alias("rep_id"))
+    m = fp.select("doc_id", "sh").join(members, "sh").select("doc_id", "rep_id")
+    t = (
+        fp.join(members, "sh")
+        .where(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "toks")
     )
     toks = t.select("doc_id", F.explode("toks").alias("term"))
     minh = toks.groupBy("doc_id").agg(
@@ -333,7 +358,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
-    return (
+    rep_pairs = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
@@ -343,6 +368,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.95)
     )
+    # Lossless expansion back to member pairs. The member map is one
+    # narrow (doc_id, rep_id) frame; at fixture scale it broadcasts,
+    # at 100 TB the joins stay keyed on rep ids (linear).
+    ma = m.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("mem_a"))
+    mb = m.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("mem_b"))
+    inter_group = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("mem_a", "mem_b").alias("doc_a"),
+            F.greatest("mem_a", "mem_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # Same-group members: identical token sets, jaccard exactly 1.0,
+    # always band-mates (identical signatures) — candidates by
+    # construction, no verification needed.
+    intra_group = (
+        ma.join(
+            mb.withColumnRenamed("doc_b", "doc_a"),
+            "doc_a",
+        )
+        .where(F.col("mem_a") < F.col("mem_b"))
+        .select(
+            F.col("mem_a").alias("doc_a"),
+            F.col("mem_b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter_group.unionByName(intra_group)
 
 
 @query(
