@@ -22,6 +22,81 @@ from ..registry import query
 from ..tables import load_table
 
 
+def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
+    """Collapse docs with identical sets to one representative.
+
+    Near-dup corpora are dense in *exactly* identical token/gram sets
+    (~21% of fixture docs at sf0.1, measured), and every similarity
+    primitive in this module — Jaccard, minhash signatures, band
+    membership, prefix-filter candidacy — is a function of the set,
+    so pair generation and verification need only run on one
+    representative per distinct set (the min ``doc_id``).  Returns
+    ``(reps, members)``: the representative frame (doc_id, set_col)
+    and the doc_id → rep_id map used by :func:`expand_rep_pairs`.
+
+    The fingerprint is md5 over the sorted set, a narrow map; the
+    group agg and the membership join are keyed on the digest —
+    payload arrays never shuffle for the contraction itself.
+    """
+    fp = t.select(
+        "doc_id",
+        set_col,
+        F.md5(F.concat_ws("|", F.array_sort(set_col))).alias("sh"),
+    )
+    groups = fp.groupBy("sh").agg(F.min("doc_id").alias("rep_id"))
+    with_rep = fp.join(groups, "sh")
+    members = with_rep.select("doc_id", "rep_id")
+    reps = with_rep.where(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", set_col
+    )
+    return reps, members
+
+
+def expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    value_col: str = "jaccard",
+    identical_value: float = 1.0,
+) -> DataFrame:
+    """Losslessly expand representative-level similarity pairs back to
+    member-level pairs.
+
+    Inter-group: every (member of A) × (member of B) pair inherits the
+    verified rep-pair value (the metric is a set function).  Intra-
+    group: identical sets pair at ``identical_value`` exactly — no
+    verification needed, and for the banded/prefix paths such pairs
+    are candidates by construction (identical sets ⇒ identical
+    signatures/prefixes).  Output columns: (doc_a, doc_b, value_col)
+    with doc_a < doc_b.  The member map is narrow (two longs per
+    doc); both joins stay keyed on rep ids — linear at any scale.
+    """
+    ma = members.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("mem_a")
+    )
+    mb = members.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("mem_b")
+    )
+    inter_group = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("mem_a", "mem_b").alias("doc_a"),
+            F.greatest("mem_a", "mem_b").alias("doc_b"),
+            value_col,
+        )
+    )
+    intra_group = (
+        ma.join(mb.withColumnRenamed("doc_b", "doc_a"), "doc_a")
+        .where(F.col("mem_a") < F.col("mem_b"))
+        .select(
+            F.col("mem_a").alias("doc_a"),
+            F.col("mem_b").alias("doc_b"),
+            F.lit(identical_value).alias(value_col),
+        )
+    )
+    return inter_group.unionByName(intra_group)
+
+
 def prefix_filter_candidates(
     t: DataFrame, threshold: float, set_col: str = "toks"
 ) -> DataFrame:
@@ -191,15 +266,20 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_plan_shapes.py asserts the physical plan).
     """
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
+    full = d.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
+    # Jaccard and prefix-filter candidacy are set functions, and the
+    # prefix pigeonhole guarantee holds under ANY global token order
+    # (including the contracted corpus's df order) — so the quadratic
+    # phases run on one representative per distinct token set.
+    t, m = contract_identical_sets(full)
     cand = prefix_filter_candidates(t, 0.95)
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
-    return (
+    rep_pairs = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
@@ -209,6 +289,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.95)
     )
+    return expand_rep_pairs(rep_pairs, m)
 
 
 @query(
@@ -285,18 +366,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = d.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
-    fp = full.select(
-        "doc_id",
-        "toks",
-        F.md5(F.concat_ws("|", F.array_sort("toks"))).alias("sh"),
-    )
-    members = fp.groupBy("sh").agg(F.min("doc_id").alias("rep_id"))
-    m = fp.select("doc_id", "sh").join(members, "sh").select("doc_id", "rep_id")
-    t = (
-        fp.join(members, "sh")
-        .where(F.col("doc_id") == F.col("rep_id"))
-        .select("doc_id", "toks")
-    )
+    t, m = contract_identical_sets(full)
     toks = t.select("doc_id", F.explode("toks").alias("term"))
     minh = toks.groupBy("doc_id").agg(
         *[
@@ -368,36 +438,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.95)
     )
-    # Lossless expansion back to member pairs. The member map is one
-    # narrow (doc_id, rep_id) frame; at fixture scale it broadcasts,
-    # at 100 TB the joins stay keyed on rep ids (linear).
-    ma = m.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("mem_a"))
-    mb = m.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("mem_b"))
-    inter_group = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("mem_a", "mem_b").alias("doc_a"),
-            F.greatest("mem_a", "mem_b").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    # Same-group members: identical token sets, jaccard exactly 1.0,
-    # always band-mates (identical signatures) — candidates by
-    # construction, no verification needed.
-    intra_group = (
-        ma.join(
-            mb.withColumnRenamed("doc_b", "doc_a"),
-            "doc_a",
-        )
-        .where(F.col("mem_a") < F.col("mem_b"))
-        .select(
-            F.col("mem_a").alias("doc_a"),
-            F.col("mem_b").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return inter_group.unionByName(intra_group)
+    return expand_rep_pairs(rep_pairs, m)
 
 
 @query(
@@ -560,13 +601,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.array_distinct(
         F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
     )
-    t = d.select("doc_id", grams.alias("grams"))
+    t_full = d.select("doc_id", grams.alias("grams"))
+    t, m = contract_identical_sets(t_full, set_col="grams")
     cand = prefix_filter_candidates(t, 0.9, set_col="grams")
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
-    return (
+    rep_pairs = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
@@ -576,6 +618,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.9)
     )
+    return expand_rep_pairs(rep_pairs, m)
 
 
 @query(
