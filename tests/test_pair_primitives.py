@@ -93,3 +93,61 @@ def test_star_contraction_matches_union_find(spark, n, edges):
     got = {r.node: r.component for r in labels.collect()}
     assert got == truth
     assert rounds <= math.log2(max(n, 2)) + 2
+
+
+@given(
+    sets=st.lists(
+        st.sets(st.sampled_from(ALPHABET), min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+    copies=st.lists(st.integers(min_value=1, max_value=3), min_size=1, max_size=6),
+    threshold=st.sampled_from([0.5, 0.8, 0.95]),
+)
+@SLOW
+def test_contraction_pipeline_equals_all_pairs(spark, sets, copies, threshold):
+    """contract -> prefix-filter -> exact verify -> expand must equal
+    the brute-force all-pairs result on corpora WITH identical-set
+    duplicates (the case the contraction exists for).  Hypothesis
+    drives duplicate multiplicities per distinct set, so intra-group,
+    inter-group, and singleton paths are all exercised."""
+    from bigdataprojectspring16_spark.llmops.dedup import (
+        contract_identical_sets,
+        expand_rep_pairs,
+    )
+
+    # Materialize the corpus: set i repeated copies[i % len(copies)] times.
+    docs = []
+    for i, s in enumerate(sets):
+        for _ in range(copies[i % len(copies)]):
+            docs.append((len(docs), sorted(s)))
+    truth = set()
+    by_id = {i: set(toks) for i, toks in docs}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = by_id[i], by_id[j]
+            if len(a & b) / len(a | b) >= threshold:
+                truth.add((i, j))
+
+    t = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    reps, members = contract_identical_sets(t)
+    cand = prefix_filter_candidates(reps, threshold)
+    ta = reps.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = reps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.array_union(F.col("ta"), F.col("tb")))
+    rep_pairs = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in expand_rep_pairs(rep_pairs, members).collect()
+    }
+    assert got == truth
