@@ -464,3 +464,293 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cos"), 6).alias("min_cos"),
         F.round(F.avg("cos"), 6).alias("avg_cos"),
     )
+
+
+@query(
+    "docs_subset_containment",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    contained AS (
+        SELECT DISTINCT a.doc_id
+        FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) = len(a.toks)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(c.doc_id) AS n_contained,
+           round(CAST(count(c.doc_id) AS DOUBLE) / count(*), 6)
+               AS contained_rate
+    FROM t LEFT JOIN contained c USING (doc_id)
+    GROUP BY source
+    """,
+)
+def docs_subset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-containment census: per source, how many docs' token
+    sets are FULLY contained in some other doc's set — truncations,
+    quotes, and boilerplate wrappers that symmetric Jaccard misses
+    (a 10-token excerpt of a 400-token doc scores J ≈ 0.025 but
+    containment 1.0).
+
+    Pair generation is the containment variant of the prefix filter:
+    for full containment the smaller set's RAREST token (global
+    ascending-df order, the PPJoin trick) must appear in the larger
+    set, so candidates come from joining each doc's single rarest
+    token against the full posting list of strictly larger docs —
+    rare tokens make small buckets, and the verify (inter == |small|)
+    touches candidates only.  Identical-set contraction applies
+    (containment is a set function): members of any multi-doc group
+    are contained by their twins outright, and only representatives
+    enter the posting join.  Equal-size distinct sets can never be
+    subsets, so the strict size inequality loses nothing.
+    """
+    from .dedup import contract_identical_sets
+
+    d = load_table(spark, sf_dir, "documents")
+    full = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    reps, members = contract_identical_sets(
+        full.select("doc_id", "toks")
+    )
+    tok = reps.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "term")
+    rarest = (
+        tok.join(freq, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("small_id"), F.col("sz").alias("sz_s"), "term")
+    )
+    posting = tok.select(
+        F.col("doc_id").alias("big_id"), F.col("sz").alias("sz_b"), "term"
+    )
+    cand = (
+        rarest.join(posting, "term")
+        .where(F.col("sz_s") < F.col("sz_b"))
+        .select("small_id", "big_id")
+        .distinct()
+    )
+    ts = reps.select(F.col("doc_id").alias("small_id"), F.col("toks").alias("toks_s"))
+    tb = reps.select(F.col("doc_id").alias("big_id"), F.col("toks").alias("toks_b"))
+    contained_reps = (
+        cand.join(ts, "small_id")
+        .join(tb, "big_id")
+        .where(
+            F.size(F.array_intersect(F.col("toks_s"), F.col("toks_b")))
+            == F.size("toks_s")
+        )
+        .select(F.col("small_id").alias("rep_id"))
+        .distinct()
+    )
+    group_sizes = members.groupBy("rep_id").agg(F.count(F.lit(1)).alias("n_mem"))
+    twin_members = (
+        members.join(group_sizes, "rep_id")
+        .where(F.col("n_mem") >= 2)
+        .select("doc_id")
+    )
+    subset_members = members.join(contained_reps, "rep_id").select("doc_id")
+    contained = twin_members.unionByName(subset_members).distinct()
+    return (
+        full.select("doc_id", "source")
+        .join(contained.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_contained"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("contained_rate"),
+        )
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH freq AS (
+        SELECT lang, term, count(*) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY lang, term
+    ),
+    ranked AS (
+        SELECT lang, term, cnt,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, term
+               ) AS rk
+        FROM freq
+    )
+    SELECT lang,
+           count(*) AS vocab_size,
+           min_by(term, rk) AS top_term,
+           round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+               AS zipf_slope,
+           round(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+               AS zipf_r2
+    FROM ranked GROUP BY lang
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: regress log-frequency on log-rank
+    over the token histogram — natural-language corpora fit a slope
+    near −1 with high R²; synthetic spam, boilerplate floods, and
+    tokenizer glitches bend the curve, making this a one-table
+    corpus-health gate.
+
+    One (lang, term) histogram aggregation (map-side combinable), a
+    per-lang rank window over the VOCABULARY (bounded by distinct
+    terms, not corpus size), then the regression AGGREGATES
+    (regr_slope/regr_r2 — algebraic moment sums, identical in both
+    engines).  Nothing here scales with corpus volume except the
+    first histogram pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
+    ranked = freq.withColumn("rk", F.row_number().over(w))
+    ln_cnt = F.log(F.col("cnt").cast("double"))
+    ln_rk = F.log(F.col("rk").cast("double"))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.min_by("term", "rk").alias("top_term"),
+        F.round(F.regr_slope(ln_cnt, ln_rk), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_cnt, ln_rk), 6).alias("zipf_r2"),
+    )
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH per AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+               sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS total_pow
+        FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / total, 6) AS raw_share,
+           round(pow(CAST(n_tokens AS DOUBLE), 0.7) / total_pow, 6)
+               AS temp_share,
+           round((pow(CAST(n_tokens AS DOUBLE), 0.7) / total_pow)
+                 / (n_tokens / total), 6) AS boost
+    FROM per CROSS JOIN tot
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights (T = 1/0.7): the standard
+    multilingual/multi-source rebalancing formula ``w_i ∝ n_i^α`` —
+    low-resource sources get boosted (boost > 1), head sources
+    damped, and the table shows exactly by how much before anyone
+    commits a sampler config.
+
+    Same topology as ``corpus_mix_report``: one (source)-keyed token
+    census, a one-row totals frame broadcast back, narrow arithmetic.
+    The report costs one scan at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    powed = F.pow(F.col("n_tokens").cast("double"), 0.7)
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.sum(powed).alias("total_pow"),
+    )
+    raw_share = F.col("n_tokens") / F.col("total")
+    temp_share = powed / F.col("total_pow")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / raw_share, 6).alias("boost"),
+    )
+
+
+@query(
+    "docs_chunk_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, lang, n_tok,
+               unnest(generate_series(1, greatest(n_tok - 16, 1), 48)) AS start
+        FROM t
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               count(*) AS n_chunks,
+               avg(least(64, n_tok - start + 1) / 64.0) AS fill
+        FROM chunks GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+           round(avg(CAST(n_chunks AS DOUBLE)), 6) AS avg_chunks,
+           round(avg(fill), 6) AS avg_fill
+    FROM per_doc GROUP BY lang
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking plan: 64-token windows, stride 48
+    (16-token overlap) — the pretokenization chunker's schedule,
+    reported as per-lang chunk counts and window fill factors so the
+    padding waste of a context-length choice is visible BEFORE the
+    expensive tokenize-and-pack job runs.
+
+    The chunk expansion is ``sequence`` + ``explode`` — a narrow 1:N
+    fan-out with no shuffle (the `multimodal_frame_sample` pattern
+    applied to text); start positions are arithmetic on token counts,
+    so no text is re-scanned per chunk.  Two keyed rollups (doc,
+    lang) complete the report.  Start grid: 1, 49, 97, … up to
+    ``greatest(n−16, 1)``, which guarantees the final window reaches
+    the last token and every window before it is full-width.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    chunks = t.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.col("n_tok") - 16, F.lit(1)),
+                F.lit(48),
+            )
+        ).alias("start"),
+    )
+    fill = F.least(F.lit(64), F.col("n_tok") - F.col("start") + 1) / 64.0
+    per_doc = chunks.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.avg(fill).alias("fill"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("total_chunks"),
+        F.round(F.avg(F.col("n_chunks").cast("double")), 6).alias("avg_chunks"),
+        F.round(F.avg("fill"), 6).alias("avg_fill"),
+    )
