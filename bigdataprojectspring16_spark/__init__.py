@@ -58,12 +58,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- group 2: r2-red, oracle fixed this round --
     "profile_documents", "sessionize_gap_batch", "array_hof",
     "scalar_bitwise", "scalar_try_cast",
-    # -- group 3: re-verify (r1-only checks touching this round's
-    #    session/tables changes, plus the flagship) --
-    "agg_pricing_summary", "join_skew_events_customers",
-    "join_broadcast", "join_multiway_star", "join_asof",
-    "window_rank_topn", "limit_topk", "sample_stratified",
-    "agg_percentiles", "sort_multikey", "join_full_outer",
+    # -- group 3: the ten operators ADDED this round (never driver-
+    #    checked, and per ADVICE.md changed code verifies first),
+    #    plus the flagship re-check --
+    "text_perplexity_unigram", "text_ngram_novelty",
+    "dedup_dup_rate_by_source", "clean_winsorize",
+    "sim_topk_per_centroid", "embeddings_quantize_int8",
+    "docs_subset_containment", "text_zipf_fit", "sample_temperature",
+    "docs_chunk_overlap",
+    "agg_pricing_summary",
 ]
 
 
