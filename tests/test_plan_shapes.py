@@ -272,3 +272,46 @@ def test_pair_expansion_parallelism_is_pinned(spark, name):
     least one user RepartitionByExpression."""
     plan = _optimized(QUERIES[name](spark, SF_DIR))
     assert "RepartitionByExpression" in plan, name
+
+
+def test_subset_containment_has_no_nested_loop_join(spark):
+    """Containment candidates come from the rarest-token posting join
+    (keyed equi-join) — never the all-pairs theta join the oracle
+    specifies."""
+    plan = _physical(QUERIES["docs_subset_containment"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_per_centroid_pushes_window_limit(spark):
+    """The per-label top-3 compiles to WindowGroupLimit (partial
+    per-partition pruning before the exchange), and the k×dim
+    centroid table broadcasts — the batch-MIPS shape that scales with
+    corpus size only through the narrow scoring scan."""
+    plan = _physical(QUERIES["sim_topk_per_centroid"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_quantize_scale_table_broadcasts(spark):
+    """The per-dimension absmax table (one row per dim) must
+    broadcast back to the (vec, dim) stream — a shuffle join here
+    would key on `pos` (64 distinct values), an unscalable hot-key
+    exchange."""
+    plan = _physical(QUERIES["embeddings_quantize_int8"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+
+
+def test_chunk_overlap_fanout_is_narrow(spark):
+    """The chunk expansion is sequence+explode — no exchange may sit
+    between the scan and the explode; the plan's only shuffles are
+    the two keyed rollups."""
+    plan = _physical(QUERIES["docs_chunk_overlap"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_winsorize_fences_broadcast(spark):
+    """Per-type [p5, p95] fences (rows = |event types|) broadcast
+    back; the clip pass stays a narrow map over the events scan."""
+    plan = _physical(QUERIES["clean_winsorize"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
