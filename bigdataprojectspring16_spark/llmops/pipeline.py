@@ -500,12 +500,19 @@ def docs_subset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending-df order, the PPJoin trick) must appear in the larger
     set, so candidates come from joining each doc's single rarest
     token against the full posting list of strictly larger docs —
-    rare tokens make small buckets, and the verify (inter == |small|)
-    touches candidates only.  Identical-set contraction applies
-    (containment is a set function): members of any multi-doc group
-    are contained by their twins outright, and only representatives
-    enter the posting join.  Equal-size distinct sets can never be
-    subsets, so the strict size inequality loses nothing.
+    rare tokens make small buckets on any Zipfian vocabulary.  Two
+    lossless prunes run INSIDE that join, before any token array is
+    shuffled: the size inequality (equal-size distinct sets can never
+    be subsets) and a 64-bit hashed-signature test — every token
+    hashes to one bit, so a ⊆ b forces ``mask_a & ~mask_b == 0``;
+    one long-integer AND kills most non-subset candidates even on
+    adversarial tiny-vocabulary corpora where every token is
+    frequent (the fixture corpus has a 31-term vocabulary — measured
+    — which makes *every* posting bucket dense).  The exact verify
+    (inter == |small|) touches survivors only.  Identical-set
+    contraction applies (containment is a set function): members of
+    any multi-doc group are contained by their twins outright, and
+    only representatives enter the posting join.
     """
     from .dedup import contract_identical_sets
 
@@ -518,8 +525,17 @@ def docs_subset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps, members = contract_identical_sets(
         full.select("doc_id", "toks")
     )
-    tok = reps.select(
-        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("term")
+    sig = F.expr(
+        "aggregate(transform(toks,"
+        " t -> shiftleft(1L, cast(pmod(xxhash64(t), 64) as int))),"
+        " 0L, (acc, x) -> acc | x)"
+    )
+    rsig = reps.withColumn("mask", sig)
+    tok = rsig.select(
+        "doc_id",
+        F.size("toks").alias("sz"),
+        "mask",
+        F.explode("toks").alias("term"),
     )
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "term")
@@ -527,16 +543,33 @@ def docs_subset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(freq, "term")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select(F.col("doc_id").alias("small_id"), F.col("sz").alias("sz_s"), "term")
+        .select(
+            F.col("doc_id").alias("small_id"),
+            F.col("sz").alias("sz_s"),
+            F.col("mask").alias("mask_s"),
+            "term",
+        )
     )
     posting = tok.select(
-        F.col("doc_id").alias("big_id"), F.col("sz").alias("sz_b"), "term"
+        F.col("doc_id").alias("big_id"),
+        F.col("sz").alias("sz_b"),
+        F.col("mask").alias("mask_b"),
+        "term",
     )
     cand = (
         rarest.join(posting, "term")
-        .where(F.col("sz_s") < F.col("sz_b"))
+        .where(
+            (F.col("sz_s") < F.col("sz_b"))
+            & (
+                F.col("mask_s").bitwiseAND(F.bitwise_not(F.col("mask_b")))
+                == 0
+            )
+        )
+        # No distinct needed: `rarest` holds exactly ONE row per
+        # small_id, so the term equi-join emits each (small, big)
+        # pair at most once — a dedup here would be a full extra
+        # shuffle of the candidate stream.
         .select("small_id", "big_id")
-        .distinct()
     )
     ts = reps.select(F.col("doc_id").alias("small_id"), F.col("toks").alias("toks_s"))
     tb = reps.select(F.col("doc_id").alias("big_id"), F.col("toks").alias("toks_b"))
