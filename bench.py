@@ -43,6 +43,11 @@ HEADLINE = [
     "graph_cluster_keep_best",
     "text_decontaminate",
     "sim_ann_lsh",
+    # r3 additions: representative new pipeline operators with real
+    # data-proportional work (gram joins, LM-vocab join, batch MIPS).
+    "text_ngram_novelty",
+    "text_perplexity_unigram",
+    "sim_topk_per_centroid",
 ]
 
 
