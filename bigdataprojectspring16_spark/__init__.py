@@ -58,15 +58,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- group 2: r2-red, oracle fixed this round --
     "profile_documents", "sessionize_gap_batch", "array_hof",
     "scalar_bitwise", "scalar_try_cast",
-    # -- group 3: the ten operators ADDED this round (never driver-
-    #    checked, and per ADVICE.md changed code verifies first),
-    #    plus the flagship re-check --
+    # -- group 3: the eleven operators ADDED this round (never
+    #    driver-checked, and per ADVICE.md changed code verifies
+    #    first).  The flagship needs no slot: the driver's entry()
+    #    smoke runs it every round and it is r1 hash-green. --
     "text_perplexity_unigram", "text_ngram_novelty",
     "dedup_dup_rate_by_source", "clean_winsorize",
     "sim_topk_per_centroid", "embeddings_quantize_int8",
     "docs_subset_containment", "text_zipf_fit", "sample_temperature",
-    "docs_chunk_overlap",
-    "agg_pricing_summary",
+    "docs_chunk_overlap", "stream_static_enrich",
 ]
 
 

@@ -228,3 +228,52 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("purchase_seq"),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT
+        date_trunc('hour', e.ts) AS window_start,
+        c.c_mktsegment,
+        count(*) AS n_events,
+        round(sum(e.value), 6) AS sum_value,
+        count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined against a
+    static dimension (customer), then windowed per segment — the
+    canonical Structured Streaming enrichment topology (the static
+    side is re-read per micro-batch and broadcast; no state, no
+    watermark needed for the join itself).
+
+    This batch twin is oracle-checkable and uses the identical
+    ``F.window`` + join calls the ``readStream`` form takes; the
+    live streaming leg (joining a file stream against the same dim
+    and collecting per-batch results) is asserted in
+    tests/test_streaming.py::test_stream_static_join_enriches_each_batch.
+    At 100 TB the dim broadcast is the whole story: the stream side
+    never shuffles for the join, and the windowed aggregate is the
+    only exchange, keyed on (window, segment).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
