@@ -903,3 +903,175 @@ def events_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.select(
         "day", "event_type", "n", F.round(F.avg("n").over(w), 4).alias("ma7")
     )
+
+
+@query(
+    "tpch_q4_late_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), adapted to this
+    schema: orders placed in 1996Q1 with at least one line item
+    shipped more than 60 days after the order date, counted per
+    priority (the fixture lineitem carries no commit/receipt dates,
+    so lateness is ship-vs-order-date).
+
+    The EXISTS compiles to a LEFT SEMI join keyed on the order key
+    after the quarter filter prunes the probe side — the smallest
+    correct topology: lineitem is never aggregated, just
+    semi-probed, and the date predicate on orders reaches the scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_q = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    # The lateness predicate correlates both tables (it needs
+    # o_orderdate), so the EXISTS is a semi join on the full
+    # condition rather than the key alone.
+    cond = (o_q.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o_q.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o_q.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q21_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished orders, the suppliers whose line items were late while
+    EVERY other supplier on the same order shipped on time — the
+    exists + not-exists double-correlation pattern, adapted to
+    ship-vs-order-date lateness.
+
+    Topology: one `late` frame reused on both sides of the
+    correlation; EXISTS = LEFT SEMI against other-supplier lines,
+    NOT EXISTS = LEFT ANTI against other-supplier late lines — both
+    keyed on the order key (one exchange each, AQE-skew tolerant),
+    then a broadcast supplier-name join and a TakeOrdered top-10.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("o_orderstatus") == "F")
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    qualified = (
+        late.join(
+            l2,
+            (late.l_orderkey == l2.k2) & (late.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.k3) & (F.col("l_suppkey") != l3.s3),
+            "left_anti",
+        )
+    )
+    return (
+        qualified.join(F.broadcast(s), qualified.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    oracle="""
+    WITH cutoff AS (
+        SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c CROSS JOIN cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balances who have never ordered, rolled
+    up per nation (the fixture has no phone column, so the Q22
+    country-code grouping becomes the nation key).
+
+    The scalar subquery is a one-row aggregate broadcast back (never
+    a shuffle); the NOT EXISTS is a LEFT ANTI join keyed on the
+    customer key. Two exchanges total: the anti join and the final
+    nation rollup.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
