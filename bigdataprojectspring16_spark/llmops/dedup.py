@@ -34,14 +34,22 @@ def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
     ``(reps, members)``: the representative frame (doc_id, set_col)
     and the doc_id → rep_id map used by :func:`expand_rep_pairs`.
 
-    The fingerprint is md5 over the sorted set, a narrow map; the
-    group agg and the membership join are keyed on the digest —
-    payload arrays never shuffle for the contraction itself.
+    The fingerprint is md5 over the sorted set with each element
+    hashed FIRST (fixed-width 32-hex per element), so the digest is
+    injective regardless of what characters the elements contain — a
+    raw separator-join would collide e.g. token 'a|b' with the pair
+    'a','b' on any separator choice.  A narrow map; the group agg and
+    the membership join are keyed on the digest — payload arrays
+    never shuffle for the contraction itself.
     """
     fp = t.select(
         "doc_id",
         set_col,
-        F.md5(F.concat_ws("|", F.array_sort(set_col))).alias("sh"),
+        F.md5(
+            F.concat_ws(
+                "", F.transform(F.array_sort(set_col), F.md5)
+            )
+        ).alias("sh"),
     )
     groups = fp.groupBy("sh").agg(F.min("doc_id").alias("rep_id"))
     with_rep = fp.join(groups, "sh")

@@ -185,7 +185,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fp AS (
         SELECT doc_id, source,
                md5(array_to_string(
-                   list_sort(list_distinct(string_split(text, ' '))), '|'
+                   list_transform(
+                       list_sort(list_distinct(string_split(text, ' '))),
+                       x -> md5(x)
+                   ), ''
                )) AS set_fp
         FROM documents
     ),
@@ -208,9 +211,12 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-source triage reads before anyone runs the expensive
     pairwise near-dup sweeps.
 
-    The fingerprint is md5 over the sorted distinct token list —
-    identical-set contraction's key, computed as a narrow map.  Two
-    keyed aggregations (fingerprint census, source rollup) and one
+    The fingerprint is md5 over the sorted distinct token list with
+    each token hashed first (fixed-width elements make the digest
+    injective for arbitrary token content — a raw separator join
+    would collide 'a|b' with the pair 'a','b') — identical-set
+    contraction's key, computed as a narrow map.  Two keyed
+    aggregations (fingerprint census, source rollup) and one
     fingerprint-keyed join; the shuffle key is the 128-bit digest,
     never the text, so payload bytes cross the wire exactly zero
     times at any corpus size.
@@ -221,7 +227,11 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.md5(
             F.concat_ws(
-                "|", F.array_sort(F.array_distinct(F.split("text", " ")))
+                "",
+                F.transform(
+                    F.array_sort(F.array_distinct(F.split("text", " "))),
+                    F.md5,
+                ),
             )
         ).alias("set_fp"),
     )

@@ -989,7 +989,9 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation; EXISTS = LEFT SEMI against other-supplier lines,
     NOT EXISTS = LEFT ANTI against other-supplier late lines — both
     keyed on the order key (one exchange each, AQE-skew tolerant),
-    then a broadcast supplier-name join and a TakeOrdered top-10.
+    then the supplier-name join (unhinted: supplier grows with sf,
+    so the broadcast decision belongs to the threshold/AQE, per the
+    repo's fixed-size-only hint rule) and a TakeOrdered top-10.
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -1024,7 +1026,7 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        qualified.join(F.broadcast(s), qualified.l_suppkey == s.s_suppkey)
+        qualified.join(s, qualified.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -255,14 +255,16 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     live streaming leg (joining a file stream against the same dim
     and collecting per-batch results) is asserted in
     tests/test_streaming.py::test_stream_static_join_enriches_each_batch.
-    At 100 TB the dim broadcast is the whole story: the stream side
-    never shuffles for the join, and the windowed aggregate is the
-    only exchange, keyed on (window, segment).
+    No forced broadcast hint: customer grows with sf (the repo's
+    fixed-size-only hint rule, tests/test_plan_shapes.py), so the
+    autoBroadcastJoinThreshold / AQE runtime conversion decides —
+    at fixture scale that still plans a broadcast, and at 100 TB the
+    join degrades safely to a keyed shuffle instead of a driver OOM.
     """
     ev = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        ev.join(c, ev.user_id == c.c_custkey)
         .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -151,3 +151,20 @@ def test_contraction_pipeline_equals_all_pairs(spark, sets, copies, threshold):
         for r in expand_rep_pairs(rep_pairs, members).collect()
     }
     assert got == truth
+
+
+def test_contraction_fingerprint_separator_injective(spark):
+    """Distinct sets whose tokens contain the old separator character
+    must NOT be merged: {'a|b'} vs {'a','b'} collide under a raw
+    '|'-join fingerprint but are distinct under the per-element-hash
+    digest (round-3 review finding)."""
+    from bigdataprojectspring16_spark.llmops.dedup import (
+        contract_identical_sets,
+    )
+
+    t = spark.createDataFrame(
+        [(0, ["a|b"]), (1, ["a", "b"])], "doc_id long, toks array<string>"
+    )
+    reps, members = contract_identical_sets(t)
+    assert reps.count() == 2
+    assert members.select("rep_id").distinct().count() == 2

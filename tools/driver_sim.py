@@ -58,7 +58,7 @@ def norm(v):
         return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "\x00"
+            return "f:NaN"  # distinct from None's "\x00" — NaN != NULL
         return f"f:{v:.6g}"
     if isinstance(v, decimal.Decimal):
         return "d:" + str(v)
