@@ -653,7 +653,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms, not corpus size), then the regression AGGREGATES
     (regr_slope/regr_r2 — algebraic moment sums, identical in both
     engines).  Nothing here scales with corpus volume except the
-    first histogram pass.
+    first histogram pass.  Scale note: the rank window sorts one
+    language's vocabulary per task — fine up to hundreds of millions
+    of terms; past that, swap in the two-phase distributed rank
+    (``plans/ranks.py``, the `limit_topk`/global-rank machinery)
+    with ``lang`` prepended to the range partitioning — the
+    regression aggregates are unchanged.
     """
     d = load_table(spark, sf_dir, "documents")
     freq = (
