@@ -1077,3 +1077,96 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "orders_market_basket",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(DISTINCT a.l_orderkey) AS support
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.l_orderkey) >= 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (2-itemsets): part pairs co-ordered
+    in at least 2 distinct orders, top-20 by support — the k=2 core
+    of frequent-itemset mining as a plain relational plan.
+
+    The pair join is keyed on the ORDER key, so its fan-out is
+    bounded by lines-per-order squared (≈ 4² here, never corpus²) —
+    the canonical safe shape for co-occurrence mining at any scale:
+    one orderkey-keyed shuffle, a (part, part)-keyed distinct-count
+    aggregate, and a TakeOrdered top-k with full tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count_distinct(F.col("okey")).alias("support"))
+        .where(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "events_decayed_user_value",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS ref_ts FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value * exp(-0.05 * (epoch(ref_ts) - epoch(ts))
+                                 / 86400.0)), 6) AS decayed_value
+    FROM events CROSS JOIN ref
+    GROUP BY user_id
+    ORDER BY decayed_value DESC, user_id
+    LIMIT 20
+    """,
+)
+def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed user value (half-life ≈ 14 days at
+    λ = 0.05/day): recent activity counts more, the standard
+    recency-weighted LTV / engagement score — and unlike a hard
+    window cutoff, the decay is algebraic, so the per-user sum is
+    map-side combinable like any other sum.
+
+    The reference timestamp is a one-row global max broadcast back
+    (never a shuffle); the decay factor is pure codegen arithmetic
+    on the scan; one user-keyed aggregate and a TakeOrdered top-20
+    with a deterministic tiebreak complete the plan.  Ages use
+    FRACTIONAL epoch seconds (timestamp → double) because DuckDB's
+    ``epoch()`` keeps microseconds — a whole-second truncation here
+    shifts the decay factor by up to λ/86400 per event, which is
+    visible after rounding (measured: 2210.765 vs 2210.767).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    frac_secs = lambda c: c.cast("timestamp_ltz").cast("double")
+    age_days = (
+        frac_secs(F.col("ref_ts")) - frac_secs(F.col("ts"))
+    ) / 86400.0
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.exp(-0.05 * age_days)), 6
+            ).alias("decayed_value"),
+        )
+        .orderBy(F.col("decayed_value").desc(), "user_id")
+        .limit(20)
+    )
