@@ -182,3 +182,67 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         zstats,
         "o_orderpriority string, n_rows long, max_z double, min_z double",
     )
+
+
+@query(
+    "udf_batch_model_score",
+    oracle="""
+    WITH w AS (
+        SELECT list(((i * 37) % 11 - 5) / 7.0 ORDER BY i) AS wv
+        FROM (SELECT unnest(generate_series(1, 64)) AS i) t(i)
+    ),
+    scored AS (
+        SELECT label,
+               1 / (1 + exp(-list_dot_product(
+                   CAST(embedding AS DOUBLE[]), wv))) AS score
+        FROM embeddings CROSS JOIN w
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(score), 6) AS avg_score,
+           count(CASE WHEN score > 0.5 THEN 1 END) AS n_high
+    FROM scored GROUP BY label
+    """,
+)
+def udf_batch_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched model inference over the embedding column — the
+    LLM-pipeline's #1 Python-boundary pattern (quality classifiers,
+    reward models, safety filters) demonstrated with a deterministic
+    linear head so the result stays EXACTLY oracle-checkable:
+    ``score = sigmoid(w · x)`` with ``w_i = ((i·37) mod 11 − 5)/7``
+    (1-based dims, same closed form in both engines, no trained
+    weights to ship).
+
+    ``mapInPandas`` receives Arrow record batches; the whole batch is
+    scored with one vectorized ``(n×64) @ (64,)`` matmul — per-batch
+    model setup happens once per partition-batch, not per row, which
+    is exactly how a real torch/onnx head would sit here.  The
+    post-score rollup is a plain label-keyed aggregate; partition
+    count and batch boundaries cannot affect the result (asserted for
+    the UDF surface in tests/test_udf_surface.py conventions).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def score_batches(batches):
+        w = np.array([((i * 37) % 11 - 5) / 7.0 for i in range(1, 65)])
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "label": pd.Series(dtype="int32"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            z = emb @ w
+            yield pd.DataFrame(
+                {"label": pdf["label"], "score": 1.0 / (1.0 + np.exp(-z))}
+            )
+
+    scored = e.mapInPandas(score_batches, "label int, score double")
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.count(F.when(F.col("score") > 0.5, 1)).alias("n_high"),
+    )
