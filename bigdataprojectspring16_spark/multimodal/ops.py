@@ -364,3 +364,72 @@ def multimodal_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_fill"),
     )
+
+
+@query(
+    "multimodal_block_dedup",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, source, text, length(text) AS n_bytes
+        FROM documents
+    ),
+    b AS (
+        SELECT source,
+               md5(substring(text, frame_no * 256 + 1, 256)) AS blk
+        FROM v, unnest(generate_series(0, (n_bytes - 1) // 256)) u(frame_no)
+    )
+    SELECT source,
+           count(*) AS n_blocks,
+           count(DISTINCT blk) AS distinct_blocks,
+           round(1 - CAST(count(DISTINCT blk) AS DOUBLE) / count(*), 6)
+               AS dedup_ratio
+    FROM b GROUP BY source
+    """,
+)
+def multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level payload dedup ratio: split every binary payload
+    into fixed 256-byte blocks, digest each block, and report the
+    per-source share of duplicate blocks — the storage-dedup /
+    content-addressable-store planning number for a multimodal asset
+    lake (dup blocks = bytes a CAS would never store twice).
+
+    The block expansion is the frame-sample narrow fan-out (sequence
+    + explode, no shuffle) with the digest computed JVM-side on the
+    binary slice; the only exchanges are the digest-keyed distinct
+    count's two-phase partials.  No payload byte ever shuffles —
+    blocks travel as 128-bit digests.  The oracle slices the text
+    twin of the payload (fixture corpus is pure ASCII — verified
+    ``octet_length(encode(text)) = length(text)`` — so byte blocks
+    and char blocks coincide; with multibyte payloads the oracle
+    would slice a hex/BLOB form instead, DuckDB's substring being
+    VARCHAR-only).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    assets = with_binary_payload(d)
+    v = assets.select(
+        "source", "payload", F.octet_length("payload").alias("n_bytes")
+    )
+    blocks = v.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n_bytes") - 1) / 256).cast("int"),
+            )
+        ).alias("frame_no"),
+        "payload",
+    ).select(
+        "source",
+        F.md5(
+            F.expr("substring(payload, frame_no * 256 + 1, 256)")
+        ).alias("blk"),
+    )
+    return blocks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count_distinct(F.col("blk")).alias("distinct_blocks"),
+        F.round(
+            1 - F.count_distinct(F.col("blk")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dedup_ratio"),
+    )
