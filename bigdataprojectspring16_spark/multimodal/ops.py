@@ -260,6 +260,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_bytes,
                unnest(generate_series(0, (n_bytes - 1) // 256, 4)) AS frame_no
         FROM v
+        WHERE n_bytes > 0
     )
     SELECT doc_id, frame_no,
            frame_no * 256 AS byte_offset,
@@ -283,7 +284,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
-    v = d.select("doc_id", F.octet_length(payload).alias("n_bytes"))
+    v = d.select("doc_id", F.octet_length(payload).alias("n_bytes")).where(
+        # Empty payloads emit zero frames on both engines (DuckDB's
+        # generate_series(0, -1) is empty; Spark's sequence(0, -1)
+        # would DESCEND and emit [0, -1]).
+        F.col("n_bytes") > 0
+    )
     f = v.select(
         "doc_id",
         "n_bytes",
@@ -377,6 +383,7 @@ def multimodal_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                md5(substring(text, frame_no * 256 + 1, 256)) AS blk
         FROM v, unnest(generate_series(0, (n_bytes - 1) // 256)) u(frame_no)
+        WHERE n_bytes > 0
     )
     SELECT source,
            count(*) AS n_blocks,
@@ -408,6 +415,11 @@ def multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = with_binary_payload(d)
     v = assets.select(
         "source", "payload", F.octet_length("payload").alias("n_bytes")
+    ).where(
+        # Zero-byte payloads contribute zero blocks on both engines
+        # (and keep Spark's descending-`sequence` edge unreachable:
+        # sequence(0, -1) would emit [0, -1], not empty).
+        F.col("n_bytes") > 0
     )
     blocks = v.select(
         "source",
