@@ -607,7 +607,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(
-        F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+        F.expr(
+            "CASE WHEN length(text) >= 5 THEN"
+            " transform(sequence(1, length(text) - 4),"
+            "           i -> substring(text, i, 5))"
+            " ELSE CAST(array() AS array<string>) END"
+        )
     )
     t_full = d.select("doc_id", grams.alias("grams"))
     t, m = contract_identical_sets(t_full, set_col="grams")
@@ -776,7 +781,12 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(
-        F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+        F.expr(
+            "CASE WHEN length(text) >= 5 THEN"
+            " transform(sequence(1, length(text) - 4),"
+            "           i -> substring(text, i, 5))"
+            " ELSE CAST(array() AS array<string>) END"
+        )
     )
     t = d.select("doc_id", "text", grams.alias("grams"))
     cand = prefix_filter_candidates(t, 0.9, set_col="grams")

@@ -382,7 +382,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id",
         F.posexplode(
-            F.expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")
+            F.expr(
+                "CASE WHEN length(text) >= 8 THEN"
+                " transform(sequence(1, length(text) - 7),"
+                "           i -> substring(text, i, 8))"
+                " ELSE CAST(array() AS array<string>) END"
+            )
         ).alias("pos", "gram"),
     )
     w = (
@@ -496,11 +501,19 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator without a third pass.
     """
     d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    chars = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-        F.col("text"),
-    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    chars = (
+        d
+        # Empty texts emit zero char rows on both engines (DuckDB's
+        # generate_series(1, 0) is empty; Spark's sequence(1, 0)
+        # would DESCEND and emit [1, 0] — phantom rows).
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+            F.col("text"),
+        )
+        .select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    )
     freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
     p = F.col("n") / F.col("n_chars").cast("double")
     ent = (

@@ -168,3 +168,22 @@ def test_contraction_fingerprint_separator_injective(spark):
     reps, members = contract_identical_sets(t)
     assert reps.count() == 2
     assert members.select("rep_id").distinct().count() == 2
+
+
+def test_short_text_grams_are_empty_not_descending(spark):
+    """Texts shorter than the gram width must produce an EMPTY gram
+    set on the Spark side, matching DuckDB's empty generate_series —
+    Spark's sequence(1, n) DESCENDS for n < 1 and would emit phantom
+    grams (round-3 hardening)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("ab",), ("",), ("abcdef",)], "text string")
+    grams = df.select(
+        F.expr(
+            "CASE WHEN length(text) >= 5 THEN"
+            " transform(sequence(1, length(text) - 4),"
+            "           i -> substring(text, i, 5))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("g")
+    ).collect()
+    assert [r.g for r in grams] == [[], [], ["abcde", "bcdef"]]
