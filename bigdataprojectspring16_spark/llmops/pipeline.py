@@ -802,3 +802,81 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_chunks").cast("double")), 6).alias("avg_chunks"),
         F.round(F.avg("fill"), 6).alias("avg_fill"),
     )
+
+
+@query(
+    "docs_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.dst AS node, r.lbl
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.lbl < e.dst
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(lbl) AS comp_id FROM reach GROUP BY node
+    ),
+    assigned AS (
+        SELECT d.lang, c.comp_id,
+               CASE WHEN ((c.comp_id % 100003) * 2654435761) % 100 < 80
+                    THEN 'train'
+                    WHEN ((c.comp_id % 100003) * 2654435761) % 100 < 90
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT lang, split,
+           count(*) AS n_docs,
+           count(DISTINCT comp_id) AS n_clusters
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (80/10/10): the split is
+    assigned per near-dup CLUSTER, not per document, so two
+    near-duplicates can never land in different splits — the
+    eval-contamination failure mode a naive per-doc hash split is
+    blind to (a test doc whose twin sits in train is a leaked
+    answer).
+
+    Composition of shipped machinery: the linear prefix-filter edge
+    join + O(log n) star-contraction components (graph module), then
+    a deterministic multiplicative hash of the COMPONENT id
+    (Knuth 2654435761, pre-reduced mod 100003 so the product stays
+    inside int64 on any id range — DuckDB errors on BIGINT overflow
+    rather than wrapping) buckets each cluster whole.  Per-(lang,
+    split) census with cluster counts; the invariant that no
+    component straddles splits holds by construction (split is a
+    pure function of comp_id).
+    """
+    from .graph import _near_dup_edges, connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = _near_dup_edges(d, 0.95)
+    comp = connected_components(
+        d.select(F.col("doc_id").alias("node")), edges
+    ).withColumnRenamed("node", "doc_id")
+    bucket = ((F.col("component") % 100003) * F.lit(2654435761)) % 100
+    assigned = comp.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        F.col("component").alias("comp_id"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("comp_id")).alias("n_clusters"),
+    )
