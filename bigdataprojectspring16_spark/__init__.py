@@ -22,7 +22,7 @@ from .registry import QUERIES, ORACLES, query
 from .operators import setops, analytics  # noqa: F401
 from .functions import scalars, udfs  # noqa: F401
 from .streaming import batch_windows  # noqa: F401
-from .llmops import curation, dedup, graph, similarity, text, pipeline  # noqa: F401
+from .llmops import curation, dedup, graph, similarity, text, pipeline, corpus  # noqa: F401
 from .multimodal import ops as multimodal_ops  # noqa: F401
 from .operators import scans, projection, joins, aggregates, windows, sorts  # noqa: F401
 

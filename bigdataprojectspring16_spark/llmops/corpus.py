@@ -1,0 +1,244 @@
+"""Corpus-maintenance operators, round 3 late additions (SURVEY §2.K).
+
+Three operators a standing 100 TB corpus needs once it is no longer
+built in one shot but *maintained*: incremental batch-vs-corpus
+deduplication (the nightly-ingest shape), PMI collocation mining
+(tokenizer/phrase-vocabulary prep), and per-dimension embedding
+statistics (the whitening/quantization pre-flight).
+
+Design rules carried over (SURVEY §4): declarative DataFrame
+compositions only — digest/term-keyed shuffles, broadcast one-row
+totals, no driver-side state, no Python in the hot path.  Oracles
+follow the HUGEINT discipline (integer sums CAST to BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+#: Knuth multiplicative hash constant — the same deterministic,
+#: engine-portable split used by sample_hash_mod (scans.py): pure
+#: int64 arithmetic gives the identical batch membership in any
+#: engine, partition layout, or cluster size.
+_KNUTH = 2654435761
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, n_chars, sha256(text) AS digest,
+               (doc_id * 2654435761) % 10 = 7 AS is_batch
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT digest FROM d WHERE NOT is_batch),
+    bc AS (
+        SELECT digest, count(*) AS n_in_batch
+        FROM d WHERE is_batch GROUP BY digest
+    ),
+    cls AS (
+        SELECT b.source, b.n_chars,
+               CASE WHEN c.digest IS NOT NULL THEN 'dup_vs_corpus'
+                    WHEN bc.n_in_batch > 1 THEN 'dup_in_batch'
+                    ELSE 'novel' END AS status
+        FROM d b
+        JOIN bc ON b.digest = bc.digest
+        LEFT JOIN corpus c ON b.digest = c.digest
+        WHERE b.is_batch
+    )
+    SELECT source, status, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM cls GROUP BY source, status
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: classify a new document batch against
+    the standing corpus — ``dup_vs_corpus`` (exact text already
+    ingested), ``dup_in_batch`` (exact dup within the batch itself),
+    or ``novel`` — reported per (source, status).
+
+    The batch is carved out deterministically (Knuth-hash of doc_id,
+    ~10%) so the split is reproducible in any engine; membership
+    against the corpus is a digest-keyed LEFT join against the
+    corpus's DISTINCT sha256 set and within-batch multiplicity is one
+    digest-keyed count — never the text itself.  At 100 TB this is
+    exactly the nightly-ingest topology: the full corpus never
+    rescans per batch (its digest index is the join input), payloads
+    never shuffle (32-byte digests do), and every join is equi-keyed
+    on the digest — AQE handles the (tiny batch) × (huge corpus
+    index) asymmetry by broadcasting the batch side.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sha2(F.col("text"), 256).alias("digest"),
+        ((F.col("doc_id") * F.lit(_KNUTH)) % 10 == 7).alias("is_batch"),
+    )
+    corpus = d.where(~F.col("is_batch")).select("digest").distinct()
+    batch = d.where(F.col("is_batch"))
+    bc = batch.groupBy("digest").agg(F.count(F.lit(1)).alias("n_in_batch"))
+    cls = (
+        batch.join(bc, "digest")
+        .join(corpus.withColumn("in_corpus", F.lit(True)), "digest", "left")
+        .select(
+            "source",
+            "n_chars",
+            F.when(F.col("in_corpus").isNotNull(), "dup_vs_corpus")
+            .when(F.col("n_in_batch") > 1, "dup_in_batch")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
+    return cls.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@query(
+    "text_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT u.w, count(*) AS c_w
+        FROM toks, unnest(t) AS u(w)
+        GROUP BY u.w
+    ),
+    uni_total AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni FROM uni),
+    big AS (
+        SELECT t[g.i] AS w1, t[g.i + 1] AS w2, count(*) AS c_xy
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+        GROUP BY 1, 2
+    ),
+    big_total AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_big FROM big),
+    scored AS (
+        SELECT w1, w2, c_xy,
+               round(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni)
+                        / (CAST(n_big AS DOUBLE) * u1.c_w * u2.c_w)),
+                     6) AS pmi
+        FROM big
+        JOIN uni u1 ON big.w1 = u1.w
+        JOIN uni u2 ON big.w2 = u2.w
+        CROSS JOIN uni_total CROSS JOIN big_total
+        WHERE c_xy >= 20
+    )
+    SELECT w1, w2, c_xy, pmi
+    FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: the top-20 adjacent word pairs by
+    pointwise mutual information (min pair count 20) — the phrase
+    table a tokenizer/vocabulary build runs before merges.
+
+    Shape: one narrow bigram expansion (1-based ``sequence`` mirrors
+    the oracle's ``generate_series``; sub-2-token docs are excluded
+    before the sequence so Spark's descending-sequence edge case is
+    unreachable), two term-keyed counts with map-side partial
+    aggregation, two vocabulary-keyed joins (vocab ≪ corpus — AQE
+    broadcasts it), one-row totals broadcast, and a distributed
+    TakeOrdered top-k — no window, no driver loop.  PMI is computed
+    from exact integer counts with the identical double-precision
+    expression on both engines (IEEE multiply/divide is deterministic
+    given the same operand order), so round-6 ranking with a (w1, w2)
+    tiebreak is engine-stable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    uni_total = uni.agg(F.sum("c_w").alias("n_uni"))
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    big_total = big.agg(F.sum("c_xy").alias("n_big"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_big").cast("double") * F.col("c_w1") * F.col("c_w2"))
+        ),
+        6,
+    )
+    return (
+        big.where(F.col("c_xy") >= 20)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(uni_total))
+        .crossJoin(F.broadcast(big_total))
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "embeddings_dim_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS u(i)
+    )
+    SELECT dim, count(*) AS n_vals,
+           round(avg(v), 6) AS mean_v,
+           round(stddev_samp(v), 6) AS std_v,
+           round(min(v), 6) AS min_v,
+           round(max(v), 6) AS max_v,
+           round(max(abs(v)), 6) AS absmax_v
+    FROM dims GROUP BY dim
+    """,
+)
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — mean/std/min/max/absmax
+    for every coordinate — the pre-flight for whitening, PCA seeding,
+    and the int8 quantization scales (``embeddings_quantize_int8``
+    consumes exactly the absmax column).
+
+    One ``posexplode`` (narrow 1:dim expansion) and one dim-keyed
+    aggregation; the result is dim rows — constant in corpus size —
+    and every statistic is map-side combinable, so at 100 TB this is
+    a single pass with a tiny shuffle of partial aggregates.  Spark's
+    0-based ``posexplode`` index is shifted to the oracle's 1-based
+    ``generate_series`` numbering; float32 inputs promote to double
+    identically on both engines, with round-6 smoothing over
+    aggregation-order jitter.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("pos", "raw")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("raw").cast("double").alias("v")
+    )
+    return dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+        F.round(F.max(F.abs(F.col("v"))), 6).alias("absmax_v"),
+    )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_table
+from ..tables import load_table, ts_seconds
 
 
 @query(
@@ -527,3 +527,57 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         "next_click_ts",
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT date_trunc('hour', p.ts) AS purchase_hour,
+           count(*) AS n_pairs
+    FROM (SELECT ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+      ON c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    GROUP BY 1
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-band join with NO equi key — every (purchase, click)
+    pair across ALL users where the click precedes the purchase by at
+    most an hour, counted per purchase hour.
+
+    Without an equi column Spark's only native plan is a broadcast
+    nested loop (quadratic, and undefined once neither side fits in
+    memory).  The scale path is the classic bucketized range join:
+    key both sides by the hour-epoch bucket, explode each probe row
+    to its two candidate buckets (a click inside ``[p_ts - 1h,
+    p_ts]`` can only live in the purchase's bucket or the one
+    before), hash-join on the bucket, and apply the band predicate as
+    a residual.  Each qualifying pair matches exactly once (the
+    click's own bucket is unique), the 2x probe-side expansion is
+    narrow, and the join is a plain shuffled equi join — linear
+    shuffle, partitionable by bucket at any scale.  The oracle states
+    the declarative inequality-join form; DuckDB's IEJoin executes
+    it directly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts")
+    )
+    bucket = lambda col: F.floor(ts_seconds(F.col(col)) / 3600)
+    c_b = c.withColumn("bkt", bucket("c_ts"))
+    p_b = p.select(
+        "p_ts",
+        F.explode(
+            F.array(bucket("p_ts"), bucket("p_ts") - 1)
+        ).alias("bkt"),
+    )
+    pairs = p_b.join(c_b, "bkt").where(
+        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return pairs.groupBy(
+        F.date_trunc("hour", F.col("p_ts")).alias("purchase_hour")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -190,3 +190,61 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars_kept"),
         )
     )
+
+
+@query(
+    "sample_kfold_stratified",
+    oracle="""
+    WITH f AS (
+        SELECT lang, (doc_id * 2654435761) % 5 AS fold, n_chars
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, fold, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM f GROUP BY lang, fold
+    )
+    SELECT lang, fold, n_docs, sum_chars,
+           round(CAST(n_docs AS DOUBLE)
+                 / sum(n_docs) OVER (PARTITION BY lang), 6) AS fold_share
+    FROM g
+    """,
+)
+def sample_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment (k=5) for
+    cross-validation over the document corpus: every doc lands in the
+    same fold on any engine, partitioning, or cluster size via the
+    multiplicative key hash (same constant as ``sample_hash_mod``),
+    reported as a (lang, fold) census with the fold's share within
+    its language stratum.
+
+    The fold label is a Catalyst-foldable scan-side expression — no
+    shuffle until the tiny (lang x k) aggregate — and the share
+    window partitions by lang over the already-aggregated 20-row
+    frame, so at 100 TB the cost is one pass + one partial-agg
+    shuffle. ``df.randomSplit`` is seed- and partition-dependent;
+    this assignment is a pure function of the key, which is what a
+    reproducible training pipeline has to be able to re-derive.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fold = (F.col("doc_id") * F.lit(2654435761)) % 5
+    g = (
+        d.select("lang", fold.alias("fold"), "n_chars")
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "fold",
+        "n_docs",
+        "sum_chars",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("fold_share"),
+    )

@@ -315,3 +315,26 @@ def test_winsorize_fences_broadcast(spark):
     back; the clip pass stays a narrow map over the events scan."""
     plan = _physical(QUERIES["clean_winsorize"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_bucketed_is_shuffled_equi_join(spark):
+    """The no-equi-key band join must plan as an equi join on the
+    hour bucket — never the BroadcastNestedLoopJoin Spark would pick
+    for the raw inequality predicate. Size-based broadcast is killed
+    so the assertion sees the corpus-scale shape."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _physical(QUERIES["join_range_bucketed"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bigram_pmi_topk_is_take_ordered(spark):
+    """The PMI top-20 must be a distributed TakeOrdered (per-partition
+    heaps), not a global sort or a single-partition window."""
+    plan = _physical(QUERIES["text_bigram_pmi"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
