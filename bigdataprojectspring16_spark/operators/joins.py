@@ -529,6 +529,42 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_band_join(
+    probe: DataFrame, build: DataFrame, probe_ts: str, build_ts: str,
+    band_seconds: int,
+) -> DataFrame:
+    """All (probe, build) row pairs with ``build_ts`` in
+    ``[probe_ts - band, probe_ts]`` — via a bucketized equi join, the
+    linear-scale rewrite of a predicate Spark can only plan as a
+    nested loop when no equi key exists.
+
+    Coverage theorem (property-tested in tests/test_differential.py):
+    bucket width == band width, so a qualifying build row can only
+    live in the probe row's own epoch bucket or the one before it;
+    exploding the probe to those two candidate buckets and residually
+    filtering the band yields every qualifying pair EXACTLY once
+    (the build row's bucket is a function of its own timestamp, hence
+    unique per pair).
+    """
+    bucket = lambda col: F.floor(ts_seconds(F.col(col)) / band_seconds)
+    b = build.withColumn("__bkt", bucket(build_ts))
+    p = probe.withColumn(
+        "__bkt",
+        F.explode(F.array(bucket(probe_ts), bucket(probe_ts) - 1)),
+    )
+    return (
+        p.join(b, "__bkt")
+        .where(
+            (
+                F.col(build_ts)
+                >= F.col(probe_ts) - F.expr(f"INTERVAL {band_seconds} SECOND")
+            )
+            & (F.col(build_ts) <= F.col(probe_ts))
+        )
+        .drop("__bkt")
+    )
+
+
 @query(
     "join_range_bucketed",
     oracle="""
@@ -566,18 +602,7 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.where(F.col("event_type") == "click").select(
         F.col("ts").alias("c_ts")
     )
-    bucket = lambda col: F.floor(ts_seconds(F.col(col)) / 3600)
-    c_b = c.withColumn("bkt", bucket("c_ts"))
-    p_b = p.select(
-        "p_ts",
-        F.explode(
-            F.array(bucket("p_ts"), bucket("p_ts") - 1)
-        ).alias("bkt"),
-    )
-    pairs = p_b.join(c_b, "bkt").where(
-        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-    )
+    pairs = bucketed_band_join(p, c, "p_ts", "c_ts", 3600)
     return pairs.groupBy(
         F.date_trunc("hour", F.col("p_ts")).alias("purchase_hour")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))

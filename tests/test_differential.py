@@ -224,3 +224,63 @@ def test_try_cast_agrees_on_malformed_strings(spark, rows):
                   sum(TRY_CAST(s AS INTEGER)) AS sum_ok
            FROM t GROUP BY k""",
     )
+
+
+# -- bucketized band-join coverage theorem -------------------------------
+
+#: Epoch seconds that stress the bucket boundaries for BAND=60:
+#: exact multiples of the band, off-by-one on both sides, and
+#: exactly-band-apart pairs (the inclusive lower edge).
+_BOUNDARY_TS = [0, 1, 59, 60, 61, 119, 120, 121, 180, 240]
+band_ts = st.lists(
+    st.one_of(
+        st.sampled_from(_BOUNDARY_TS),
+        st.integers(min_value=0, max_value=300),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+FAST = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(probe_ts=band_ts, build_ts=band_ts)
+@FAST
+def test_bucketed_band_join_equals_naive_inequality_join(
+    spark, probe_ts, build_ts
+):
+    """The bucketized rewrite (equi join on epoch buckets + residual)
+    must return EXACTLY the pairs of the naive inequality join —
+    every qualifying pair once, no duplicates from the 2-bucket probe
+    explode, no misses at the inclusive band edges — on adversarial
+    boundary timestamps the fixtures don't contain."""
+    from pyspark.sql import functions as F
+
+    from bigdataprojectspring16_spark.operators.joins import (
+        bucketed_band_join,
+    )
+
+    p = spark.createDataFrame(
+        [(t,) for t in probe_ts], "sec bigint"
+    ).select(F.timestamp_seconds("sec").alias("p_ts"))
+    c = spark.createDataFrame(
+        [(t,) for t in build_ts], "sec bigint"
+    ).select(F.timestamp_seconds("sec").alias("c_ts"))
+
+    got = sorted(
+        (r["p_ts"], r["c_ts"])
+        for r in bucketed_band_join(p, c, "p_ts", "c_ts", 60).collect()
+    )
+    naive = sorted(
+        (r["p_ts"], r["c_ts"])
+        for r in p.join(
+            c,
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 SECOND"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).collect()
+    )
+    assert got == naive
