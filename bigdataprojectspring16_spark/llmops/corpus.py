@@ -242,3 +242,77 @@ def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 6).alias("max_v"),
         F.round(F.max(F.abs(F.col("v"))), 6).alias("absmax_v"),
     )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH hist AS (
+        SELECT u.w AS term, count(*) AS cnt
+        FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        GROUP BY u.w
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk
+        FROM hist
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM hist)
+    SELECT k,
+           CAST(sum(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           total_tokens,
+           round(CAST(sum(CASE WHEN rk <= k THEN cnt ELSE 0 END) AS DOUBLE)
+                 / total_tokens, 6) AS coverage
+    FROM ranked
+    CROSS JOIN tot
+    CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k) ks
+    GROUP BY k, total_tokens
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the token-mass share covered by the
+    top-k most frequent terms, for k in {10, 100, 1000} — the
+    truncation-planning table a tokenizer build consults before
+    fixing its vocab size.
+
+    The global frequency ranking is the scale-sensitive step: the
+    oracle states it as one unpartitioned ``row_number`` window, but
+    the declared plan rides :func:`plans.ranks.with_global_rank` —
+    range-repartition on (cnt DESC, term) + per-partition row_number
+    + broadcast prefix-sum offsets — so no WindowExec ever sees the
+    whole vocabulary in one partition (the repo-wide plan guard
+    enforces this).  The tie order (cnt DESC, term) is total, so the
+    distributed rank is bit-identical to the oracle's window.  The
+    k-fan-out is a narrow 3x expansion of the (vocab-sized) ranked
+    table; totals travel as a broadcast 1-row frame.
+    """
+    from ..plans.ranks import with_global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    hist = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = with_global_rank(
+        hist, [F.col("cnt").desc(), F.col("term")], "rk"
+    )
+    tot = hist.agg(F.sum("cnt").alias("total_tokens"))
+    fan = ranked.select(
+        "cnt",
+        "rk",
+        F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("k"),
+    )
+    cov = fan.groupBy("k").agg(
+        F.sum(
+            F.when(F.col("rk") <= F.col("k"), F.col("cnt")).otherwise(0)
+        ).alias("covered_tokens")
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("coverage"),
+    )

@@ -279,3 +279,41 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@query(
+    "stream_join_pairs",
+    oracle="""
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join, executed through
+    the SAME function the streaming pipeline wires up
+    (``streams.stream_stream_interval_join``): each purchase paired
+    with the same user's clicks from the preceding hour, at pair
+    granularity.
+
+    ``withWatermark`` is a no-op under batch execution, so this
+    declared key hash-verifies the exact join predicate and
+    projection the streaming tests replay with micro-batches
+    (tests/test_streaming.py) — promoting the one previously
+    tests-only §2.J surface to a driver-checkable row.  Scale shape
+    is identical in both modes: an equi join on user_id with the
+    two-sided time constraint as a residual (batch) / state-eviction
+    bound (streaming).
+    """
+    from .streams import stream_stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return stream_stream_interval_join(clicks, purchases)
