@@ -58,10 +58,16 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- group 2: r2-red, oracle fixed this round --
     "profile_documents", "sessionize_gap_batch", "array_hof",
     "scalar_bitwise", "scalar_try_cast",
-    # -- group 3: the eleven operators ADDED this round (never
+    # -- group 3: the first eleven operators ADDED this round (never
     #    driver-checked, and per ADVICE.md changed code verifies
     #    first).  The flagship needs no slot: the driver's entry()
-    #    smoke runs it every round and it is r1 hash-green. --
+    #    smoke runs it every round and it is r1 hash-green.
+    #    The round's LATER additions (market-basket, time-decay,
+    #    inference, block-dedup, Q4/Q21/Q22, leakage split,
+    #    corpus-maintenance batch, stream_join_pairs,
+    #    text_vocab_coverage) do not fit the 50-cap with groups 1-2
+    #    ahead of them; they queue in registration order and lead
+    #    round 4's rotation. --
     "text_perplexity_unigram", "text_ngram_novelty",
     "dedup_dup_rate_by_source", "clean_winsorize",
     "sim_topk_per_centroid", "embeddings_quantize_int8",

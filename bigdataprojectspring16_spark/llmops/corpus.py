@@ -316,3 +316,180 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6
         ).alias("coverage"),
     )
+
+
+@query(
+    "embeddings_whiten_qa",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label, u.i AS dim,
+               CAST(embedding[u.i] AS DOUBLE) AS v
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    stats AS (
+        SELECT dim, avg(v) AS mu, stddev_samp(v) AS sd
+        FROM dims GROUP BY dim
+    ),
+    w AS (
+        SELECT vec_id, label, dim,
+               CASE WHEN sd > 0 THEN (v - mu) / sd ELSE 0.0 END AS wv
+        FROM dims JOIN stats USING (dim)
+    ),
+    label_dim AS (
+        SELECT label, dim, avg(wv) AS mean_wv FROM w GROUP BY label, dim
+    ),
+    dim_qa AS (
+        SELECT label, max(abs(mean_wv)) AS max_abs_dim_mean
+        FROM label_dim GROUP BY label
+    ),
+    vec_norm AS (
+        SELECT vec_id, label, sqrt(sum(wv * wv)) AS nrm
+        FROM w GROUP BY vec_id, label
+    ),
+    norm_qa AS (
+        SELECT label, count(*) AS n_vecs, avg(nrm) AS avg_norm
+        FROM vec_norm GROUP BY label
+    )
+    SELECT label, n_vecs,
+           round(max_abs_dim_mean, 6) AS max_abs_dim_mean,
+           round(avg_norm, 6) AS avg_norm
+    FROM norm_qa JOIN dim_qa USING (label)
+    """,
+)
+def embeddings_whiten_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening QA: standardize every coordinate to zero mean / unit
+    variance with the per-dimension stats (``embeddings_dim_stats``'s
+    μ/σ), then report per label how far the whitened space drifts —
+    the largest per-dimension class-mean magnitude (class separation
+    survives whitening) and the average whitened vector norm
+    (≈ √dim when standardization is healthy).  The gate before
+    training similarity models on standardized features.
+
+    Shape: the (dim → μ, σ) table is dim rows — constant in corpus
+    size — broadcast back onto the exploded (vec, dim) stream; the
+    whitening map is narrow; the two QA branches are keyed
+    aggregations ((label, dim) and (vec, label)) that meet in a
+    label-keyed join of label-sized frames.  Zero-variance dims
+    whiten to 0 on both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "raw")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("raw").cast("double").alias("v"),
+    )
+    stats = dims.groupBy("dim").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    wv = F.when(
+        F.col("sd") > 0, (F.col("v") - F.col("mu")) / F.col("sd")
+    ).otherwise(F.lit(0.0))
+    w = dims.join(F.broadcast(stats), "dim").select(
+        "vec_id", "label", "dim", wv.alias("wv")
+    )
+    dim_qa = (
+        w.groupBy("label", "dim")
+        .agg(F.avg("wv").alias("mean_wv"))
+        .groupBy("label")
+        .agg(F.max(F.abs(F.col("mean_wv"))).alias("max_abs_dim_mean"))
+    )
+    norm_qa = (
+        w.groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg("nrm").alias("avg_norm"),
+        )
+    )
+    return norm_qa.join(dim_qa, "label").select(
+        "label",
+        "n_vecs",
+        F.round("max_abs_dim_mean", 6).alias("max_abs_dim_mean"),
+        F.round("avg_norm", 6).alias("avg_norm"),
+    )
+
+
+@query(
+    "docs_review_queue",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_toks,
+               round(1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+                               AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS rep_score
+        FROM documents
+        WHERE len(text) > 0
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY rep_score DESC, doc_id
+               ) AS rk_worst,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY rep_score ASC, doc_id
+               ) AS rk_best
+        FROM scored
+    )
+    SELECT lang,
+           CASE WHEN rk_worst <= 3 THEN 'most_repetitive'
+                ELSE 'least_repetitive' END AS bucket,
+           doc_id, n_toks, rep_score
+    FROM ranked
+    WHERE rk_worst <= 3 OR rk_best <= 3
+    """,
+)
+def docs_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-review sampling: per language, the 3 MOST and 3 LEAST
+    repetitive documents (duplicate-token fraction, deterministic
+    doc_id tie-break) — the exemplar queue a curation run hands to
+    reviewers so threshold changes are judged on concrete head/tail
+    cases, not aggregates (``text_repetition_ratio`` reports the
+    rates; this selects the evidence).
+
+    Both extremes ride the SAME lang-partitioned shuffle — two
+    row_numbers over mirrored orders share one partitioning, so the
+    plan pays one exchange; the window group limit prunes
+    per-partition before it.  A doc in both tails (tiny stratum)
+    appears once, labeled by the `most_repetitive` branch first —
+    the CASE order is part of the contract on both engines.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_toks"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+            6,
+        ).alias("rep_score"),
+    )
+    w_worst = Window.partitionBy("lang").orderBy(
+        F.col("rep_score").desc(), "doc_id"
+    )
+    w_best = Window.partitionBy("lang").orderBy(
+        F.col("rep_score").asc(), "doc_id"
+    )
+    ranked = scored.withColumn(
+        "rk_worst", F.row_number().over(w_worst)
+    ).withColumn("rk_best", F.row_number().over(w_best))
+    return ranked.where(
+        (F.col("rk_worst") <= 3) | (F.col("rk_best") <= 3)
+    ).select(
+        "lang",
+        F.when(F.col("rk_worst") <= 3, "most_repetitive")
+        .otherwise("least_repetitive")
+        .alias("bucket"),
+        "doc_id",
+        "n_toks",
+        "rep_score",
+    )

@@ -1170,3 +1170,92 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_value").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    ranked AS (
+        SELECT l_partkey, unit_cost, s_suppkey, s_name, s_acctbal, n_name,
+               row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY unit_cost, s_suppkey
+               ) AS rk
+        FROM supply JOIN eur ON l_suppkey = s_suppkey
+    )
+    SELECT p_partkey, p_brand,
+           round(unit_cost, 6) AS min_unit_cost,
+           s_suppkey, s_name,
+           round(s_acctbal, 2) AS s_acctbal,
+           n_name
+    FROM ranked
+    JOIN part ON l_partkey = p_partkey
+    WHERE rk = 1 AND p_size IN (15, 25, 35)
+    ORDER BY s_acctbal DESC, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the fixture schema (no partsupp
+    table — lineitem serves as the observed part×supplier supply
+    matrix): for each part in the size classes {15, 25, 35}, the
+    EUROPE supplier offering the minimum observed unit price, ranked
+    by supplier account balance.
+
+    Shape notes: the supply matrix is one (part, supp)-keyed
+    aggregation of the fact table; the region-filtered supplier dim
+    chain broadcasts (fixed-size nation/region, sf-proportional
+    supplier joins by key); the per-part argmin is a window
+    partitioned by part with a total (unit_cost, s_suppkey) order —
+    replacing Q2's correlated MIN subquery with a rank instead of an
+    aggregate-then-rejoin on a floating-point equality; and the final
+    top-100 is a distributed TakeOrdered under the total
+    (s_acctbal DESC, p_partkey) order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "s_suppkey")
+    best = (
+        supply.join(eur, supply.l_suppkey == eur.s_suppkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .where(F.col("p_size").isin(15, 25, 35))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("unit_cost", 6).alias("min_unit_cost"),
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(100)
+    )

@@ -338,3 +338,16 @@ def test_bigram_pmi_topk_is_take_ordered(spark):
     heaps), not a global sort or a single-partition window."""
     plan = _physical(QUERIES["text_bigram_pmi"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_review_queue_windows_share_one_exchange(spark):
+    """The most/least-repetitive extremes use mirrored row_numbers
+    over the SAME lang partitioning — the plan must pay exactly one
+    hash exchange, not one per window direction."""
+    plan = _physical(QUERIES["docs_review_queue"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q2_topk_is_take_ordered(spark):
+    plan = _physical(QUERIES["tpch_q2_min_cost_supplier"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
