@@ -493,3 +493,196 @@ def docs_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         "rep_score",
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_sort(list_distinct(string_split(text, ' '))) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.toks, b.toks))),
+                     6) AS j
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+    ),
+    b AS (
+        SELECT CASE WHEN j >= 0.95 THEN '0.95-1.00'
+                    WHEN j >= 0.9 THEN '0.90-0.95'
+                    WHEN j >= 0.8 THEN '0.80-0.90'
+                    ELSE '0.70-0.80' END AS band
+        FROM pairs WHERE j >= 0.7
+    ),
+    tot AS (SELECT count(*) AS n_total FROM b)
+    SELECT band, count(*) AS n_pairs,
+           round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+    FROM b CROSS JOIN tot
+    GROUP BY band, n_total
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep: exact counts of near-dup doc pairs
+    per Jaccard band (0.70–0.80 / 0.80–0.90 / 0.90–0.95 / 0.95–1.00)
+    — the tuning table consulted before fixing a dedup cutoff, showing
+    how many pairs each threshold choice keeps or drops.
+
+    One run of the lossless prefix-filter candidate join (Bayardo
+    et al. WWW'07) at the SWEEP FLOOR 0.7 covers every band above it
+    (recall 1.0 ≥ the floor by the prefix pigeonhole), so the whole
+    curve costs one candidate pass, not one per threshold.  Identical
+    token sets are contracted first and re-expanded arithmetically —
+    a distinct-set group of size g contributes g·(g−1)/2 exact-dup
+    pairs to the top band and weight g_a·g_b to each verified
+    cross-group pair — so the dense-dup mass never inflates the
+    verify join.  The oracle states the all-pairs form; the declared
+    plan is the keyed prefix equi-join (nested-loop-free).
+    """
+    from .dedup import contract_identical_sets, prefix_filter_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
+    )
+    reps, members = contract_identical_sets(t)
+    sizes = members.groupBy("rep_id").agg(F.count(F.lit(1)).alias("g"))
+    intra = sizes.agg(
+        F.sum(F.col("g") * (F.col("g") - 1) / 2).cast("long").alias("n_pairs")
+    ).select(F.lit("0.95-1.00").alias("band"), "n_pairs")
+
+    cand = prefix_filter_candidates(reps, 0.7)
+    ta = reps.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = reps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    ga = sizes.select(F.col("rep_id").alias("doc_a"), F.col("g").alias("g_a"))
+    gb = sizes.select(F.col("rep_id").alias("doc_b"), F.col("g").alias("g_b"))
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("j"),
+        )
+        .where(F.col("j") >= 0.7)
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+    )
+    band = (
+        F.when(F.col("j") >= 0.95, "0.95-1.00")
+        .when(F.col("j") >= 0.9, "0.90-0.95")
+        .when(F.col("j") >= 0.8, "0.80-0.90")
+        .otherwise("0.70-0.80")
+    )
+    cross = verified.select(
+        band.alias("band"), (F.col("g_a") * F.col("g_b")).alias("n_pairs")
+    )
+    bands = (
+        cross.unionByName(intra)
+        .groupBy("band")
+        .agg(F.sum("n_pairs").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+    )
+    tot = bands.agg(F.sum("n_pairs").alias("n_total"))
+    return bands.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs").cast("double") / F.col("n_total"), 6
+        ).alias("share"),
+    )
+
+
+@query(
+    "text_perplexity_bigram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang, t[g.i] AS w1, t[g.i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+    ),
+    uni AS (
+        SELECT u.w AS w1, count(*) AS c1
+        FROM toks, unnest(t) AS u(w) GROUP BY u.w
+    ),
+    vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+    bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    per_doc AS (
+        SELECT b.doc_id, b.lang,
+               avg(-ln((CAST(c12 AS DOUBLE) + 1) / (c1 + v))) AS nll
+        FROM bg b
+        JOIN bgc USING (w1, w2)
+        JOIN uni USING (w1)
+        CROSS JOIN vocab
+        GROUP BY b.doc_id, b.lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(nll), 6) AS avg_nll,
+           round(min(nll), 6) AS min_nll,
+           round(max(nll), 6) AS max_nll
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM self-scoring with add-one smoothing: train
+    ``p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)`` on the corpus itself,
+    score each doc by mean bigram negative log-likelihood — the
+    order-sensitive upgrade of ``text_perplexity_unigram`` (word
+    salad with a plausible unigram mix scores high here; docs under
+    2 tokens have no bigram and are excluded on both engines).
+
+    Same linear topology as the unigram twin plus one more count
+    table: bigram histogram + unigram histogram (both map-side
+    combinable), a 1-row vocabulary-size broadcast, then the doc
+    bigram stream joins its two count tables by term keys — the only
+    corpus-sized shuffles, with AQE skew-splitting the frequent-
+    bigram head.  Probabilities derive from exact integer counts
+    through one fixed double expression, so per-doc NLLs agree to
+    float-jitter absorbed by the round-6 rollups.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    bg = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+    uni = (
+        toks.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nll = -F.log(
+        (F.col("c12").cast("double") + 1) / (F.col("c1") + F.col("v"))
+    )
+    per_doc = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(nll).alias("nll"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.min("nll"), 6).alias("min_nll"),
+        F.round(F.max("nll"), 6).alias("max_nll"),
+    )

@@ -1259,3 +1259,62 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "p_partkey")
         .limit(100)
     )
+
+
+@query(
+    "supplier_return_rate_topk",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               count(*) AS n_lines,
+               count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name, n_lines, n_returned,
+           round(CAST(n_returned AS DOUBLE) / n_lines, 6) AS return_rate
+    FROM per_supp
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_lines >= 20
+    ORDER BY return_rate DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def supplier_return_rate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability screen: the 20 suppliers with the highest
+    lineitem return rate (flag 'R'), floored at 20 shipped lines so
+    small-sample rates can't top the list — the procurement QA
+    composite (who to audit first).
+
+    One supplier-keyed aggregation of the fact table (count +
+    conditional count, both map-side combinable), a key join against
+    the sf-proportional supplier dim, a fixed-size nation broadcast,
+    and a distributed TakeOrdered under the total
+    (return_rate DESC, s_suppkey) order — rates derive from exact
+    integer counts through one double division, so the rounded
+    ranking is engine-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    )
+    return (
+        per_supp.where(F.col("n_lines") >= 20)
+        .join(s, per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            "n_lines",
+            "n_returned",
+            F.round(
+                F.col("n_returned").cast("double") / F.col("n_lines"), 6
+            ).alias("return_rate"),
+        )
+        .orderBy(F.col("return_rate").desc(), "s_suppkey")
+        .limit(20)
+    )

@@ -283,3 +283,67 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share"
         ),
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_events,
+           round(median(n_events) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS med7
+    FROM daily
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row median of daily event volume per type — the
+    robust rolling baseline (a single spike day shifts a rolling MEAN
+    by spike/7 but leaves the rolling median untouched, which is why
+    anomaly baselines prefer it).
+
+    An exact order-statistic over a bounded 7-row frame: the window
+    rides one (event_type) hash partitioning over the pre-aggregated
+    daily frame — days × types rows, thousands at any corpus scale —
+    so the O(frame·log frame) median cost is off the fact table
+    entirely.  Spark bans ``median()`` with a window frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame's values
+    are collected with ``collect_list`` (frame-legal, bounded at 7)
+    and the middle element(s) picked explicitly — even counts average
+    the middle pair, matching DuckDB's ``median`` definition on
+    exact integer counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # to_date, not date_trunc: DuckDB's date_trunc('day', ts) yields
+    # DATE while Spark's yields TIMESTAMP — a §5.3 representation
+    # hazard the type-faithful gate catches.
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mid = F.expr(
+        "CASE WHEN size(frame7) % 2 = 1"
+        "     THEN CAST(frame7[CAST(size(frame7) / 2 AS INT)] AS DOUBLE)"
+        "     ELSE (frame7[CAST(size(frame7) / 2 AS INT) - 1]"
+        "           + frame7[CAST(size(frame7) / 2 AS INT)]) / 2.0 END"
+    )
+    return (
+        daily.withColumn(
+            "frame7", F.array_sort(F.collect_list("n_events").over(w))
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round(mid, 6).alias("med7"),
+        )
+    )

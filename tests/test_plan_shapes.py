@@ -351,3 +351,14 @@ def test_review_queue_windows_share_one_exchange(spark):
 def test_q2_topk_is_take_ordered(spark):
     plan = _physical(QUERIES["tpch_q2_min_cost_supplier"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_threshold_sweep_pair_stage_has_no_nested_loop_join(spark):
+    """The sweep's single candidate pass at the 0.7 floor must stay
+    the keyed prefix equi-join — never the all-pairs theta join its
+    oracle specifies. The ONE BroadcastNestedLoopJoin allowed is the
+    sanctioned share denominator: a broadcast cross join against the
+    1-row band-total frame."""
+    plan = _physical(QUERIES["dedup_threshold_sweep"](spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
