@@ -573,3 +573,51 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_salted_topk",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 15
+    """,
+)
+def agg_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter census through the SALTED two-phase aggregation
+    (`plans.skew.salted_aggregate`): top-15 users by event count —
+    the manual skew lever declared as an oracle-checked key, proving
+    the salted topology computes exactly the plain GROUP BY.
+
+    Phase 1 groups on (user_id, salt) — 8× more groups, 8× smaller
+    hot partitions, so one pathological user cannot serialize a
+    reducer; phase 2 combines the per-salt partials (count→sum,
+    sum→sum — lossless algebra).  The salt values themselves are
+    partition-dependent (`rand(seed)`), but the final result is salt-
+    assignment-invariant by construction, which is exactly what the
+    hash comparison certifies.  The events fixture concentrates on
+    10% of user keys (SURVEY §1.3), the skew shape this lever
+    exists for; top-15 is a distributed TakeOrdered under the total
+    (n_events DESC, user_id) order.
+    """
+    from ..plans.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = salted_aggregate(
+        ev,
+        "user_id",
+        [("count", "value", "n_events"), ("sum", "value", "sum_raw")],
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_events",
+            F.round("sum_raw", 6).alias("sum_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(15)
+    )

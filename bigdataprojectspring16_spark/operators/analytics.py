@@ -1318,3 +1318,56 @@ def supplier_return_rate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("return_rate").desc(), "s_suppkey")
         .limit(20)
     )
+
+
+@query(
+    "events_inter_arrival_stats",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           count(gap_us) AS n_gaps,
+           round(avg(gap_us) / 1e6, 6) AS avg_gap_s,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_s,
+           round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_s,
+           round(max(gap_us) / 1e6, 6) AS max_gap_s
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival profile: the gap from each user's previous event
+    (any type), attributed to the current event's type — avg / exact
+    p50 / p90 / max seconds per type, the pacing table behind
+    session-gap and rate-limit threshold choices
+    (``sessionize_gap_batch``'s 30-min cutoff comes from curves like
+    this one).
+
+    Gaps are computed in exact integer MICROSECONDS (Spark
+    ``unix_micros`` ≡ DuckDB ``epoch_us`` — fractional-seconds
+    truncation is the §5.3 hazard this sidesteps) over one user_id
+    partitioning with a (ts, event_id) total order, then rolled up
+    per type with exact interpolated percentiles — at scale the
+    percentile swaps for the mergeable ``approx_percentile`` sketch
+    with every other stage unchanged (the `events_anomaly_mad`
+    convention).  Each user's first event contributes no gap on
+    either engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    seq = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1e6, 6).alias("avg_gap_s"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias("p50_gap_s"),
+        F.round(F.expr("percentile(gap_us, 0.9)") / 1e6, 6).alias("p90_gap_s"),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+    )
