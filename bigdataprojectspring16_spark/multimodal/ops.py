@@ -445,3 +445,91 @@ def multimodal_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dedup_ratio"),
     )
+
+
+@query(
+    "multimodal_payload_near_dup",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source,
+               list_sort(list_distinct(list_transform(
+                   generate_series(1, octet_length(encode(text)), 32),
+                   i -> md5(substring(text, CAST(i AS INT), 32))
+               ))) AS blocks
+        FROM documents
+        WHERE octet_length(encode(text)) > 0
+    ),
+    pairs AS (
+        SELECT least(a.source, b2.source) AS source_a,
+               greatest(a.source, b2.source) AS source_b,
+               round(CAST(len(list_intersect(a.blocks, b2.blocks)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.blocks, b2.blocks))),
+                     6) AS j
+        FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs,
+           round(avg(j), 6) AS avg_j
+    FROM pairs WHERE j >= 0.5 GROUP BY source_a, source_b
+    """,
+)
+def multimodal_payload_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary near-dup detection WITHOUT decoding: assets whose
+    32-byte-block digest sets overlap at Jaccard ≥ 0.5, reported as
+    pair counts per (source, source) — the content-addressable-store
+    dedup sweep for re-encoded / re-uploaded / trailing-metadata
+    variants that exact sha256 dedup misses.
+
+    Payload bytes never pair-join: each asset collapses to its set of
+    128-bit block digests (a narrow 1:N expansion + digest collect),
+    and candidates come from the SAME lossless prefix-filter
+    equi-join as the text near-dup family (recall 1.0 ≥ the 0.5
+    floor) keyed on single digests — rare blocks form the prefixes,
+    which is what bounds posting lists on real binary corpora.  The
+    oracle states the all-pairs form over the text twin
+    (`sha256(text)` ≡ payload digests — fixture corpus is pure ASCII,
+    same convention as `multimodal_block_dedup`).
+    """
+    from ..llmops.dedup import prefix_filter_candidates
+
+    assets = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    b = assets.where(F.length("payload") > 0).select(
+        "doc_id",
+        "source",
+        F.array_sort(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(payload), 32),"
+                    " i -> md5(substring(payload, i, 32)))"
+                )
+            )
+        ).alias("blocks"),
+    )
+    cand = prefix_filter_candidates(
+        b.select("doc_id", "blocks"), 0.5, set_col="blocks"
+    )
+    ba = b.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("blocks").alias("blocks_a"),
+    )
+    bb = b.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("blocks").alias("blocks_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("blocks_a"), F.col("blocks_b")))
+    union = F.size(F.array_union(F.col("blocks_a"), F.col("blocks_b")))
+    pairs = (
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            F.round(inter.cast("double") / union, 6).alias("j"),
+        )
+        .where(F.col("j") >= 0.5)
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("j"), 6).alias("avg_j"),
+    )

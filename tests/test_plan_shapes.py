@@ -362,3 +362,12 @@ def test_threshold_sweep_pair_stage_has_no_nested_loop_join(spark):
     plan = _physical(QUERIES["dedup_threshold_sweep"](spark, SF_DIR))
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_payload_near_dup_has_no_nested_loop_join(spark):
+    """The binary near-dup pair stage must be the digest-keyed
+    prefix-filter equi-join — never the all-pairs theta join of its
+    text-twin oracle."""
+    plan = _physical(QUERIES["multimodal_payload_near_dup"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
