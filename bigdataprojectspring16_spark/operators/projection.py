@@ -128,3 +128,43 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(ORACLES["subquery_correlated"])
+
+
+@query(
+    "subquery_scalar_agg",
+    oracle="""
+    WITH cutoff AS (SELECT avg(o_totalprice) AS avg_price FROM orders)
+    SELECT o_orderpriority,
+           count(*) AS n_above,
+           round(avg(o_totalprice), 6) AS avg_above
+    FROM orders CROSS JOIN cutoff
+    WHERE o_totalprice > avg_price
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar-subquery filter: orders priced above the
+    GLOBAL average, rolled up per priority — the complement of
+    ``subquery_correlated`` (per-group cutoff) with a single global
+    cutoff instead.
+
+    The scalar subquery is a one-row aggregate broadcast back onto
+    the scan (the `tpch_q22_idle_customers` convention) — at any
+    scale the cutoff costs one partial-agg pass and the filter stays
+    a narrow map; no shuffle is keyed on the cutoff.  The threshold
+    is a float average, so boundary membership is only at risk for a
+    row within double-jitter (~1e-7) of it — prices sit on a 0.01
+    grid, the same tolerance Q22's above-average cutoff already
+    relies on.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(cutoff))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_above"),
+        )
+    )

@@ -80,3 +80,41 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("spend"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "sort_nulls_boundary",
+    oracle="""
+    SELECT c_custkey,
+           round(CASE WHEN c_custkey % 211 = 0 THEN NULL
+                      ELSE c_acctbal END, 2) AS bal
+    FROM customer
+    ORDER BY bal ASC NULLS FIRST, c_custkey
+    LIMIT 15
+    """,
+)
+def sort_nulls_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-ordering semantics made observable: a top-15 under
+    ``ASC NULLS FIRST`` over a column with a few manufactured NULL
+    keys, so the selection itself proves where each engine places
+    NULLs (engine DEFAULTS disagree — Spark sorts NULLs first on
+    ASC, DuckDB last — so portable code must always spell the
+    placement out, which is exactly what this key pins).
+
+    The NULL stratum is smaller than the limit (1 in 211 keys), so
+    the selected 15 rows witness BOTH rules: all null-bal rows lead
+    (in key order), then the smallest balances fill the remainder —
+    a distributed TakeOrdered either way.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.round(
+        F.when(F.col("c_custkey") % 211 == 0, F.lit(None)).otherwise(
+            F.col("c_acctbal")
+        ),
+        2,
+    )
+    return (
+        c.select("c_custkey", bal.alias("bal"))
+        .orderBy(F.col("bal").asc_nulls_first(), "c_custkey")
+        .limit(15)
+    )
