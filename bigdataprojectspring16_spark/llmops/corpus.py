@@ -686,3 +686,130 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nll"), 6).alias("min_nll"),
         F.round(F.max("nll"), 6).alias("max_nll"),
     )
+
+
+def _kmeans_round_sql(r: int) -> str:
+    """One unrolled Lloyd round as DuckDB CTEs: assign every vector to
+    its nearest centroid from round ``r-1``, then rebuild centroids as
+    the per-dimension member means, QUANTIZED to 6 decimals (the
+    round-boundary re-synchronization that makes the distributed and
+    serial executions bit-comparable)."""
+    return f"""
+    d{r} AS (
+        SELECT v.vec_id, v.e, c.cid,
+               list_sum(list_transform(generate_series(1, len(v.e)),
+                   i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS dist
+        FROM v CROSS JOIN c{r - 1} c
+    ),
+    a{r} AS (
+        SELECT vec_id, e, cid, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rk
+            FROM d{r}
+        ) WHERE rk = 1
+    ),
+    m{r} AS (
+        SELECT cid, u.i AS dim, round(avg(e[u.i]), 6) AS mu
+        FROM a{r}, unnest(generate_series(1, len(e))) AS u(i)
+        GROUP BY cid, u.i
+    ),
+    c{r} AS (
+        SELECT cid, list(mu ORDER BY dim) AS c FROM m{r} GROUP BY cid
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 4
+    ),{_kmeans_round_sql(1)},{_kmeans_round_sql(2)},
+    d3 AS (
+        SELECT v.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1, len(v.e)),
+                   i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS dist
+        FROM v CROSS JOIN c2 c
+    ),
+    a3 AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rk
+            FROM d3
+        ) WHERE rk = 1
+    )
+    SELECT cid, count(*) AS n_vecs, round(sum(dist), 6) AS inertia
+    FROM a3 GROUP BY cid
+"""
+
+
+@query("kmeans_lloyd_rounds", oracle=_KMEANS_ORACLE)
+def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=4), TWO unrolled rounds plus a
+    final assignment, exactly oracle-checkable: initialization is
+    deterministic (the 4 lowest vec_ids seed the centroids, keyed by
+    their own id), and every round's rebuilt centroids are QUANTIZED
+    to 6 decimals before the next assignment — the member-mean is the
+    one aggregation whose float result depends on row order, so
+    quantizing at the round boundary re-synchronizes the distributed
+    execution with the serial oracle without changing the algorithm.
+
+    Each round is the canonical Spark k-means topology: assignment is
+    a broadcast of the k×dim centroid frame against a narrow scan
+    with a SEQUENTIAL per-vector distance fold (`zip_with` +
+    `aggregate` — same summation order as the oracle's `list_sum`),
+    argmin by a (dist, cid)-ordered per-vector window; the update is
+    one (cid, dim)-keyed mean over the exploded members.  Unrolling
+    keeps the whole computation ONE lazy plan — no driver loop, no
+    action between rounds; at real scale the rounds chain through
+    AQE like any other multi-stage plan.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = v.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+
+    dist = F.aggregate(
+        F.zip_with("e", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(vecs: DataFrame, c: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            vecs.crossJoin(F.broadcast(c))
+            .withColumn("dist", dist)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "e", "cid", "dist")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select(
+                "cid", F.posexplode("e").alias("pos", "val")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mu"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s.mu,
+                ).alias("c")
+            )
+        )
+
+    for _ in range(2):
+        cents = update(assign(v, cents))
+    final = assign(v, cents)
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("dist"), 6).alias("inertia"),
+    )

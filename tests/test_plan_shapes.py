@@ -371,3 +371,13 @@ def test_payload_near_dup_has_no_nested_loop_join(spark):
     plan = _physical(QUERIES["multimodal_payload_near_dup"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_rounds_are_one_lazy_plan(spark):
+    """The unrolled Lloyd rounds chain as a single plan: each round's
+    assignment is the sanctioned k x dim centroid broadcast (nested
+    loop over a constant-size side), never a CartesianProduct, and no
+    action/driver loop splits the rounds."""
+    plan = _physical(QUERIES["kmeans_lloyd_rounds"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3  # 2 rounds + final
