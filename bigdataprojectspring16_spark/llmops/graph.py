@@ -324,3 +324,82 @@ def graph_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def _pagerank_round_sql(r: int) -> str:
+    """One unrolled power-iteration round as DuckDB CTEs, in the
+    N-scaled form (pr ≈ 1): pr' = 0.15 + 0.85 · Σ inflow, QUANTIZED
+    to 6 decimals at the round boundary — the inflow sum is the one
+    order-dependent float, so quantizing re-synchronizes the
+    distributed execution with the serial oracle (the
+    `kmeans_lloyd_rounds` discipline)."""
+    return f"""
+    r{r} AS (
+        SELECT n.pid,
+               round(0.15 + 0.85 * coalesce(s.inflow, 0), 6) AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.v AS pid, sum(r.pr / deg.d) AS inflow
+            FROM e0 e
+            JOIN r{r - 1} r ON e.u = r.pid
+            JOIN deg ON e.u = deg.u
+            GROUP BY e.v
+        ) s ON n.pid = s.pid
+    )"""
+
+
+_PAGERANK_ORACLE = f"""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS pid FROM lineitem),
+    deg AS (SELECT u, count(*) AS d FROM e0 GROUP BY u),
+    r0 AS (SELECT pid, 1.0 AS pr FROM nodes),{_pagerank_round_sql(1)},{_pagerank_round_sql(2)},{_pagerank_round_sql(3)}
+    SELECT pid, pr FROM r3 ORDER BY pr DESC, pid LIMIT 20
+"""
+
+
+@query("graph_pagerank_rounds", oracle=_PAGERANK_ORACLE)
+def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-order graph (parts are linked when
+    they appear in the same order), THREE unrolled power-iteration
+    rounds (damping 0.85, N-scaled so ranks sit near 1), top-20 —
+    the 'what sells with everything' centrality that raw co-order
+    counts miss (a part co-ordered with other central parts outranks
+    one with the same degree of peripheral neighbors).
+
+    Edges are keyed on the order key, so their fan-out is bounded by
+    lines-per-order² — never corpus² (the `orders_market_basket`
+    bound).  Each round is one edge⋈rank equi-join + a target-keyed
+    sum + a left join back onto the node set (isolated parts decay
+    to the 0.15 base), with ranks QUANTIZED to 6 decimals at every
+    round boundary — the inflow sum is the only order-dependent
+    float, so quantization makes the distributed rounds
+    hash-identical to the serial oracle (the `kmeans_lloyd_rounds`
+    discipline).  All rounds chain as ONE lazy plan — no driver
+    loop; the final top-20 is a distributed TakeOrdered under the
+    total (pr DESC, pid) order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v"))
+    e0 = a.join(b, "okey").where(F.col("u") != F.col("v")).select("u", "v").distinct()
+    nodes = li.select(F.col("l_partkey").alias("pid")).distinct()
+    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.select("pid", F.lit(1.0).alias("pr"))
+    for _ in range(3):
+        inflow = (
+            e0.join(ranks.withColumnRenamed("pid", "u"), "u")
+            .join(deg, "u")
+            .groupBy(F.col("v").alias("pid"))
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "pid", "left").select(
+            "pid",
+            F.round(
+                0.15 + 0.85 * F.coalesce(F.col("inflow"), F.lit(0.0)), 6
+            ).alias("pr"),
+        )
+    return ranks.orderBy(F.col("pr").desc(), "pid").limit(20)

@@ -381,3 +381,13 @@ def test_kmeans_rounds_are_one_lazy_plan(spark):
     plan = _physical(QUERIES["kmeans_lloyd_rounds"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 3  # 2 rounds + final
+
+
+def test_pagerank_rounds_have_no_nested_loop_join(spark):
+    """Every PageRank round is an equi-join topology (edge-rank join,
+    degree join, node left-join) — no nested loop anywhere; the
+    rounds chain as one lazy plan and the top-20 is a TakeOrdered."""
+    plan = _physical(QUERIES["graph_pagerank_rounds"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
