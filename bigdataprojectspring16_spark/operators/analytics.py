@@ -1371,3 +1371,95 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us, 0.9)") / 1e6, 6).alias("p90_gap_s"),
         F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
     )
+
+
+@query(
+    "orders_open_backlog_by_month",
+    oracle="""
+    WITH closes AS (
+        SELECT l_orderkey, max(l_shipdate) AS close
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    o AS (
+        SELECT o_orderkey, o_orderdate, close
+        FROM orders LEFT JOIN closes ON o_orderkey = l_orderkey
+    ),
+    bounds AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP)
+                   + INTERVAL 1 MONTH AS lo,
+               CAST(date_trunc('month', max(coalesce(close, o_orderdate)))
+                   AS TIMESTAMP) + INTERVAL 1 MONTH AS hi
+        FROM o
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+        FROM bounds
+    )
+    SELECT s.m AS month_start,
+           count(CASE WHEN o.o_orderdate < s.m
+                       AND (o.close IS NULL OR o.close >= s.m)
+                      THEN 1 END) AS n_open
+    FROM spine s CROSS JOIN o
+    GROUP BY s.m
+    """,
+)
+def orders_open_backlog_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog at every month boundary: an order is open
+    from its placement until its last lineitem ships (never-shipped
+    orders stay open) — the classic interval-stabbing census behind
+    WIP/backlog charts.
+
+    The oracle states the naive spine × interval form — O(months ×
+    orders), fine for a serial engine, catastrophic at 100 TB. The
+    declared plan is the BOUNDARY-DELTA rewrite: each order emits a
+    +1 at the first month boundary after placement and a −1 at the
+    first boundary after close (none if never shipped), deltas
+    pre-aggregate per month (map-side combinable, months-sized
+    output), and the backlog is the running sum of deltas over the
+    months spine — computed by a triangular join of two months-sized
+    broadcast frames, so the fact table is touched exactly twice
+    (close lookup + delta emit) regardless of how many boundaries
+    the spine has, and nothing ever pairs orders with months.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("close")
+    )
+    od = o.select("o_orderkey", "o_orderdate").join(closes, "o_orderkey", "left")
+    month_after = lambda c: F.date_trunc("month", c) + F.expr("INTERVAL 1 MONTH")
+    adds = od.select(month_after(F.col("o_orderdate")).alias("mon")).groupBy(
+        "mon"
+    ).agg(F.count(F.lit(1)).alias("delta"))
+    # Drop boundary clamped to the add boundary: the fixture's random
+    # dates include closes BEFORE the order date (empty open interval
+    # under the spec), and an unclamped -1 would go negative for the
+    # months between the two boundaries.
+    drops = (
+        od.where(F.col("close").isNotNull())
+        .select(
+            F.greatest(
+                month_after(F.col("close")),
+                month_after(F.col("o_orderdate")),
+            ).alias("mon")
+        )
+        .groupBy("mon")
+        .agg((-F.count(F.lit(1))).alias("delta"))
+    )
+    deltas = adds.unionByName(drops)
+    bounds = od.agg(
+        month_after(F.min("o_orderdate")).alias("lo"),
+        month_after(F.max(F.coalesce("close", "o_orderdate"))).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month_start")
+    )
+    return (
+        spine.join(
+            F.broadcast(deltas), F.col("mon") <= F.col("month_start"), "left"
+        )
+        .groupBy("month_start")
+        .agg(F.coalesce(F.sum("delta"), F.lit(0)).alias("n_open"))
+    )
