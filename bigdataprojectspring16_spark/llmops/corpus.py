@@ -813,3 +813,108 @@ def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.sum("dist"), 6).alias("inertia"),
     )
+
+
+@query(
+    "docs_fold_contamination",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tk,
+               (doc_id * 2654435761) % 5 = 0 AS is_test
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang, is_test,
+               list_distinct(list_transform(
+                   generate_series(1, len(tk) - 4),
+                   i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2],
+                                  tk[i + 3], tk[i + 4]))) AS grams
+        FROM t WHERE len(tk) >= 5
+    ),
+    train_grams AS (
+        SELECT DISTINCT u.g FROM g, unnest(grams) AS u(g) WHERE NOT is_test
+    ),
+    test_g AS (
+        SELECT doc_id, lang, u.g AS gram
+        FROM g, unnest(grams) AS u(g) WHERE is_test
+    ),
+    per_doc AS (
+        SELECT td.doc_id, td.lang,
+               count(*) AS n_grams, count(tg.g) AS n_hit
+        FROM test_g td LEFT JOIN train_grams tg ON td.gram = tg.g
+        GROUP BY td.doc_id, td.lang
+    )
+    SELECT lang,
+           count(*) AS n_test_docs,
+           count(CASE WHEN CAST(n_hit AS DOUBLE) / n_grams > 0.05
+                      THEN 1 END) AS n_contaminated,
+           round(CAST(count(CASE WHEN CAST(n_hit AS DOUBLE) / n_grams > 0.05
+                                 THEN 1 END) AS DOUBLE) / count(*),
+                 6) AS contamination_rate
+    FROM per_doc GROUP BY lang
+    """,
+)
+def docs_fold_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-fold contamination audit: the share of held-out (fold-0)
+    docs whose distinct 5-token grams overlap the TRAIN folds' gram
+    set by more than 5%, per language — run after any split to
+    certify the held-out set isn't answered by training text
+    (``docs_leakage_safe_split`` prevents cluster-level leakage;
+    this measures what residual gram-level leakage remains).
+
+    Direction matters at scale: here the membership set is the TRAIN
+    grams — corpus-sized — so the probe is a gram-keyed equi-join
+    (shuffle both sides on the gram), NOT the broadcast that
+    ``text_decontaminate`` uses for its eval-suite-sized set; AQE's
+    skew split handles the frequent-gram head.  Sub-5-token docs
+    carry no gram and are excluded on both engines (the
+    descending-sequence guard).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("tk"),
+        ((F.col("doc_id") * F.lit(_KNUTH)) % 5 == 0).alias("is_test"),
+    ).where(F.size("tk") >= 5)
+    gram_at = lambda i: F.concat_ws(
+        " ",
+        F.element_at("tk", i),
+        F.element_at("tk", i + 1),
+        F.element_at("tk", i + 2),
+        F.element_at("tk", i + 3),
+        F.element_at("tk", i + 4),
+    )
+    g = t.select(
+        "doc_id",
+        "lang",
+        "is_test",
+        F.explode(
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), F.size("tk") - 4), gram_at)
+            )
+        ).alias("gram"),
+    )
+    train_grams = (
+        g.where(~F.col("is_test")).select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        g.where(F.col("is_test"))
+        .join(train_grams, "gram", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    contaminated = F.count(
+        F.when(F.col("n_hit").cast("double") / F.col("n_grams") > 0.05, 1)
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        contaminated.alias("n_contaminated"),
+        F.round(
+            contaminated.cast("double") / F.count(F.lit(1)), 6
+        ).alias("contamination_rate"),
+    )

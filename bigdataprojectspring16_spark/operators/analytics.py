@@ -1463,3 +1463,47 @@ def orders_open_backlog_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month_start")
         .agg(F.coalesce(F.sum("delta"), F.lit(0)).alias("n_open"))
     )
+
+
+@query(
+    "events_time_heatmap",
+    oracle="""
+    WITH cells AS (
+        SELECT isodow(ts) - 1 AS weekday, hour(ts) AS hod,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM cells)
+    SELECT weekday, hod, n_events,
+           round(CAST(n_events AS DOUBLE) / n_total, 6) AS share
+    FROM cells CROSS JOIN tot
+    """,
+)
+def events_time_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event volume per (ISO weekday, hour-of-day)
+    cell with corpus share — the seasonality table capacity planning
+    and anomaly baselines read (a Monday-9am cell and a Sunday-3am
+    cell need different alert thresholds).
+
+    One map-side-combinable aggregate to a ≤ 7×24-cell frame, then a
+    1-row total broadcast — a single fact pass at any scale.  Weekday
+    numbering is pinned Monday=0 via Spark ``weekday`` ≡ DuckDB
+    ``isodow − 1`` (the engines' default DAYOFWEEK numberings
+    disagree — Sunday=1 vs Sunday=0 — a §5.3-class hazard); both
+    cell keys are cast to BIGINT so no int-width representation
+    drift reaches the hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.weekday("ts").cast("long").alias("weekday"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = cells.agg(F.sum("n_events").alias("n_total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "hod",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_total"), 6
+        ).alias("share"),
+    )
