@@ -29,3 +29,25 @@ def test_quantized_rounds_are_partition_invariant(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert base == alt
+
+
+def test_salted_topk_is_salt_assignment_invariant(spark):
+    """`agg_salted_topk`'s salts come from rand(seed), which IS
+    partition-layout-dependent — the claim is that the final result
+    is salt-assignment-invariant. Changing the shuffle width (which
+    changes which row gets which salt) must not change the answer."""
+    from bigdataprojectspring16_spark import QUERIES
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    base = sorted(
+        tuple(r) for r in QUERIES["agg_salted_topk"](spark, SF_DIR).collect()
+    )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        alt = sorted(
+            tuple(r)
+            for r in QUERIES["agg_salted_topk"](spark, SF_DIR).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert base == alt
