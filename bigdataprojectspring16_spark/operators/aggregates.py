@@ -621,3 +621,38 @@ def agg_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(15)
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT date_trunc('month', o_orderdate)) AS n_months
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several DISTINCT aggregates with different argument sets in ONE
+    aggregation — the shape Catalyst compiles through the Expand
+    operator (each input row replicated once per distinct group with
+    a grouping id, then a single two-phase aggregate), instead of the
+    self-join-per-distinct a naive plan would pay.
+
+    At scale this is the difference between one shuffle of
+    (key, gid)-tagged rows and N separate shuffles joined back
+    together; the plain count rides the same pass.  `date_trunc`
+    month keys only feed a distinct COUNT (never the output), so the
+    engines' month-type mismatch (DuckDB DATE vs Spark TIMESTAMP)
+    cannot reach the hash.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.count_distinct(
+            F.date_trunc("month", F.col("o_orderdate"))
+        ).alias("n_months"),
+    )

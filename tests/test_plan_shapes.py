@@ -391,3 +391,11 @@ def test_pagerank_rounds_have_no_nested_loop_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_multi_distinct_compiles_through_expand(spark):
+    """Multiple DISTINCT argument sets must plan as one Expand-based
+    aggregation, not per-distinct self-joins."""
+    plan = _physical(QUERIES["agg_multi_distinct"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert "Join" not in plan
