@@ -48,6 +48,12 @@ HEADLINE = [
     "text_ngram_novelty",
     "text_perplexity_unigram",
     "sim_topk_per_centroid",
+    # r4 additions (VERDICT r3 item 4): the iterative heavy hitters —
+    # unrolled multi-round lazy plans whose regressions the flat-query
+    # set cannot see — plus one corpus-maintenance representative.
+    "kmeans_lloyd_rounds",
+    "graph_pagerank_rounds",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -27,52 +27,50 @@ from .multimodal import ops as multimodal_ops  # noqa: F401
 from .operators import scans, projection, joins, aggregates, windows, sorts  # noqa: F401
 
 # Registry order == the order the driver's verify walks the keys, and
-# each round's driver run is capped at 50 entries (CORRECTNESS_r01/r02
-# each contain exactly 50).  Key-level prioritization for round 3
-# (VERDICT.md r2 "Next round" items 1-2):
-#   1. The 34 keys NEVER inside a driver window (all of K except the
-#      3 checked in r2, plus all of L) — the LLM-ops half of the
-#      engine has zero hard correctness signal until these run.
-#   2. The 5 r2-red keys whose HUGEINT oracle columns were fixed this
-#      round — they must re-verify green.
-#   3. 11 re-verification slots: keys whose modules/oracles changed
-#      this round or that were last checked in r1 and exercise the
-#      session-conf code path changed this round (ADVICE.md item 4:
-#      anything modified in the current round verifies FIRST, not
-#      last).  Everything else follows in module-registration order.
+# each round's driver run is capped at 50 entries (CORRECTNESS_r01-r03
+# each contain exactly 50).  Key-level prioritization for round 4
+# (VERDICT.md r3 "Next round" items 1-2, 6):
+#   1. The 34 keys NEVER inside a driver window after r1+r2+r3
+#      (exactly: registry keys minus the union of the three
+#      CORRECTNESS files' key sets) — once these run, every registry
+#      key has hard driver signal at least once.
+#   2. Keys whose code changed or that were added this round (per
+#      ADVICE r2 discipline, changed code verifies FIRST):
+#      multimodal_features (output reshaped to hash-safe scalar rows
+#      + promoted from rows-only to oracle-keyed — must clear the r3
+#      err), and the two new watermark batch-twin census keys.
+#   3. The CC fixpoint pair (graph_cluster_keep_best touched by the
+#      r4 perf item; its helper is shared with connected components).
+#   4. 11 refresh slots for keys last checked in r1, spread across
+#      modules, so the oldest hard signal keeps rotating forward.
 _DRIVER_WINDOW_PRIORITY = [
-    # -- group 1: never driver-checked (30 K + 4 L) --
-    "dedup_exact_docs", "dedup_near_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_edit_distance", "clean_impute_nulls", "clean_outlier_zscore",
-    "profile_embeddings", "clean_outlier_iqr", "corpus_mix_report",
-    "graph_connected_components", "graph_cluster_keep_best",
-    "sim_knn_cosine", "sim_pairs_threshold", "knn_per_label_centroid",
-    "multimodal_join", "sim_ann_lsh", "sim_centroid_assign",
-    "text_lang_stats", "text_tfidf_topterms", "text_langid",
-    "text_quality_score", "text_token_count", "text_fingerprint",
-    "text_clean_stopwords", "text_char_entropy", "text_decontaminate",
-    "text_repetition_ratio",
-    "multimodal_binary_stats", "multimodal_features",
-    "multimodal_frame_sample", "multimodal_bin_packing",
-    # -- group 2: r2-red, oracle fixed this round --
-    "profile_documents", "sessionize_gap_batch", "array_hof",
-    "scalar_bitwise", "scalar_try_cast",
-    # -- group 3: the first eleven operators ADDED this round (never
-    #    driver-checked, and per ADVICE.md changed code verifies
-    #    first).  The flagship needs no slot: the driver's entry()
-    #    smoke runs it every round and it is r1 hash-green.
-    #    The round's LATER additions (market-basket, time-decay,
-    #    inference, block-dedup, Q4/Q21/Q22, leakage split,
-    #    corpus-maintenance batch, stream_join_pairs,
-    #    text_vocab_coverage) do not fit the 50-cap with groups 1-2
-    #    ahead of them; they queue in registration order and lead
-    #    round 4's rotation. --
-    "text_perplexity_unigram", "text_ngram_novelty",
-    "dedup_dup_rate_by_source", "clean_winsorize",
-    "sim_topk_per_centroid", "embeddings_quantize_int8",
-    "docs_subset_containment", "text_zipf_fit", "sample_temperature",
-    "docs_chunk_overlap", "stream_static_enrich",
+    # -- group 1: the 34-key never-driver-checked backlog --
+    "rollup_incremental_merge", "tpch_q4_late_order_priority",
+    "tpch_q21_sole_late_supplier", "tpch_q22_idle_customers",
+    "orders_market_basket", "events_decayed_user_value",
+    "tpch_q2_min_cost_supplier", "supplier_return_rate_topk",
+    "events_inter_arrival_stats", "orders_open_backlog_by_month",
+    "events_time_heatmap", "udf_batch_model_score",
+    "stream_join_pairs", "graph_pagerank_rounds",
+    "docs_leakage_safe_split", "dedup_incremental_batch",
+    "text_bigram_pmi", "embeddings_dim_stats", "text_vocab_coverage",
+    "embeddings_whiten_qa", "docs_review_queue",
+    "dedup_threshold_sweep", "text_perplexity_bigram",
+    "kmeans_lloyd_rounds", "docs_fold_contamination",
+    "multimodal_block_dedup", "multimodal_payload_near_dup",
+    "sample_kfold_stratified", "subquery_scalar_agg",
+    "join_range_bucketed", "agg_salted_topk", "agg_multi_distinct",
+    "window_rolling_median", "sort_nulls_boundary",
+    # -- group 2: changed / added this round --
+    "multimodal_features", "stream_late_events_census",
+    "stream_dedup_census",
+    # -- group 3: CC fixpoint pair (r4 perf work touches it) --
+    "graph_cluster_keep_best", "graph_connected_components",
+    # -- group 4: oldest-signal refreshes (last checked r1) --
+    "join_asof", "join_asof_forward", "join_skew_events_customers",
+    "subquery_correlated", "sample_domain_cap", "agg_percentiles",
+    "agg_histogram_bins", "window_range_frame", "window_share_of_total",
+    "sort_multikey", "limit_topk",
 ]
 
 

@@ -41,6 +41,13 @@ from ..tables import load_table
 
 MAX_ITERATIONS = 25
 
+#: When True, each round's localCheckpoint is lazy (eager=False) and
+#: is materialized BY the round's signature aggregate — one Spark job
+#: per round instead of two (checkpoint job + sig job), with lineage
+#: still truncated.  Flipped by tools/cc_ab_experiment.py; the shipped
+#: default records the A/B verdict (see SCALING.md §CC).
+LAZY_CHECKPOINT = False
+
 
 def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Undirected token-Jaccard ≥ threshold edges (src, dst) with the
@@ -164,7 +171,7 @@ def cc_with_rounds(
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=not LAZY_CHECKPOINT)
     )
 
     def sig(df: DataFrame):
@@ -180,11 +187,15 @@ def cc_with_rounds(
     rounds = 0
     for _ in range(MAX_ITERATIONS):
         rounds += 1
-        new = _small_star(_large_star(e)).localCheckpoint()
+        new = _small_star(_large_star(e)).localCheckpoint(
+            eager=not LAZY_CHECKPOINT
+        )
         # Convergence probe in two tiers: a narrow signature aggregate
         # every round (no shuffle), and only on signature equality the
         # exact set comparison that proves the fixpoint — so the
         # expensive probe runs once, at convergence, not per round.
+        # Under LAZY_CHECKPOINT this aggregate is also the action that
+        # materializes the round's checkpoint (one job, not two).
         new_sig = sig(new)
         converged = new_sig == prev_sig and (
             new.exceptAll(e).unionByName(e.exceptAll(new)).limit(1).count() == 0

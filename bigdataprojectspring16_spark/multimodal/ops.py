@@ -108,6 +108,11 @@ def extract_features(assets: DataFrame) -> DataFrame:
     payload, the kind of cheap content signature a curation pipeline
     computes before expensive model embedding. Vectorized NumPy over
     Arrow batches.
+
+    Bin values are emitted UNROUNDED: callers that need a decimal
+    contract apply ``F.round`` afterwards (NumPy's ``.round`` is
+    banker's rounding, which diverges from Spark/DuckDB half-up at
+    exact .xxxxxx5 boundaries — e.g. 1/640 = 0.0015625).
     """
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -123,7 +128,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     (
                         int(len(arr)),
                         float(arr.mean()) if len(arr) else 0.0,
-                        (hist / total).round(6).tolist(),
+                        (hist / total).tolist(),
                     )
                 )
             yield pd.DataFrame(
@@ -235,18 +240,72 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # rows-only: byte-histogram UDF isn't ANSI SQL
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        FROM documents
+    ),
+    chars AS (
+        SELECT d.doc_id, ascii(substring(d.text, CAST(u.i AS INT), 1)) AS b
+        FROM d, unnest(generate_series(1, d.n_bytes)) u(i)
+    ),
+    doc_stats AS (
+        SELECT doc_id, round(avg(CAST(b AS DOUBLE)), 6) AS mean_byte
+        FROM chars GROUP BY doc_id
+    ),
+    counts AS (
+        SELECT doc_id, b // 16 AS bin, count(*) AS c
+        FROM chars GROUP BY doc_id, b // 16
+    )
+    SELECT d.doc_id,
+           d.n_bytes,
+           coalesce(s.mean_byte, 0.0) AS mean_byte,
+           CAST(bins.bin AS INT) AS bin,
+           round(CAST(coalesce(c.c, 0) AS DOUBLE)
+                 / greatest(1, d.n_bytes), 6) AS value
+    FROM d
+    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) bins
+    LEFT JOIN doc_stats s ON s.doc_id = d.doc_id
+    LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = bins.bin
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """Arrow-batched feature extraction over binary payloads, declared
+    as hash-safe scalar rows: the 16-bin histogram explodes to one
+    (doc_id, n_bytes, mean_byte, bin, value) row per bin.
 
-    Declared rows-only (the mapInPandas histogram has no SQL twin);
-    determinism and partition-invariance are asserted in
-    tests/test_multimodal.py instead.
+    The ``mapInPandas`` NumPy stage is the real compute (unchanged);
+    ``posexplode`` is a narrow 1:16 expansion, so the declared shape
+    costs no extra shuffle. Until r4 this key returned the raw
+    ``array<double>`` column and was rows-only — the driver's harness
+    cannot hash array cells (r3 err: unhashable numpy.ndarray), and
+    reshaping to scalars also unlocks a full DuckDB oracle: the
+    fixture corpus is pure ASCII (verified: octet_length(encode(text))
+    = length(text)), so the byte high-nibble equals ascii(char) // 16
+    and the histogram is plain SQL. Rounding happens Spark-side with
+    ``F.round`` (half-up, matches DuckDB) — never NumPy's banker's
+    rounding. Determinism and partition-invariance are asserted in
+    tests/test_multimodal.py.
     """
     assets = with_binary_payload(
         fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     )
-    return extract_features(assets)
+    feats = extract_features(assets)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        F.posexplode("features").alias("bin", "value"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "mean_byte",
+        F.col("bin").cast("int").alias("bin"),
+        F.round("value", 6).alias("value"),
+    )
 
 
 @query(

@@ -603,6 +603,22 @@ def agg_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     10% of user keys (SURVEY §1.3), the skew shape this lever
     exists for; top-15 is a distributed TakeOrdered under the total
     (n_events DESC, user_id) order.
+
+    Residual verification risk (ADVICE r3, acknowledged): row
+    MEMBERSHIP and order are exact — the ranking key n_events is an
+    integer count, layout-invariant by algebra.  Only the displayed
+    ``sum_value`` is a distributed double sum, whose summation order
+    is salt/partition-dependent before the round(…, 6); a sum landing
+    within float-jitter (~1e-10 relative) of a 5e-7 rounding boundary
+    could in principle hash-diverge from the serial oracle on a
+    different layout.  This is the SAME failure class as every
+    ``round(sum(double), 6)`` column in the registry (any shuffled
+    double sum is order-dependent; salting adds one combine layer,
+    not a new class), and the round-6 convention absorbs it in
+    practice — the salt-assignment-invariance test
+    (tests/test_iterative_invariance.py) pins the guarantee we
+    actually claim: probabilistic jitter-absorption, not bitwise
+    determinism.
     """
     from ..plans.skew import salted_aggregate
 

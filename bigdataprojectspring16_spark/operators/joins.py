@@ -545,7 +545,23 @@ def bucketed_band_join(
     filtering the band yields every qualifying pair EXACTLY once
     (the build row's bucket is a function of its own timestamp, hence
     unique per pair).
+
+    Contract (ADVICE r3): probe and build column names must be
+    disjoint — the join is USING-style on an injected bucket column,
+    so a shared name would make the residual band filter ambiguous.
+    Both that and the bucket column's own availability are asserted
+    eagerly below rather than surfacing later as a silent
+    column-replacement or an AnalysisException deep in the plan.
     """
+    clash = (set(probe.columns) & set(build.columns)) | (
+        {"__bkt"} & (set(probe.columns) | set(build.columns))
+    )
+    if clash:
+        raise ValueError(
+            "bucketed_band_join requires disjoint probe/build column "
+            f"names and neither side may already carry '__bkt'; got "
+            f"conflicting column(s): {sorted(clash)}"
+        )
     bucket = lambda col: F.floor(ts_seconds(F.col(col)) / band_seconds)
     b = build.withColumn("__bkt", bucket(build_ts))
     p = probe.withColumn(

@@ -190,6 +190,104 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_late_events_census",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, ts,
+               max(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS high_water
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN ts < high_water - INTERVAL 10 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(CAST(sum(CASE WHEN ts < high_water - INTERVAL 10 MINUTE
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS late_rate
+    FROM arr GROUP BY event_type
+    """,
+)
+def stream_late_events_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-keyed census of the late-event population that
+    ``stream_watermark_late`` (rows-only) reasons about: replaying
+    each user's events in ``event_id`` (ingest) order, an event is
+    "late" if its event time trails that key's high-water mark by
+    more than the 10-minute watermark delay — exactly the rows a
+    keyed, watermark-bounded stateful operator would drop.
+
+    Batch inputs carry no global arrival order, so the global
+    watermark itself stays tests-only (tests/test_streaming.py
+    manufactures the late micro-batch); but the per-key lateness
+    census IS deterministic in batch (event_id is a total order) and
+    therefore hash-checkable — this key closes the driver-signal gap
+    the r3 VERDICT flagged for the watermark family. One user_id
+    shuffle carries the window; the census agg reuses no extra
+    exchange beyond the final event_type partial agg. Scales as a
+    plain keyed window at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_late = F.col("ts") < F.col("high_water") - F.expr("INTERVAL 10 MINUTES")
+    arr = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("high_water")
+    )
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late"),
+        F.round(
+            F.sum(F.when(is_late, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("late_rate"),
+    )
+
+
+@query(
+    "stream_dedup_census",
+    oracle="""
+    WITH doubled AS (
+        SELECT event_id, event_type FROM events
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE event_id % 10 = 0
+    )
+    SELECT event_type,
+           count(*) AS n_raw,
+           count(DISTINCT event_id) AS n_distinct,
+           count(*) - count(DISTINCT event_id) AS n_dropped
+    FROM doubled GROUP BY event_type
+    """,
+)
+def stream_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-keyed duplicate-collapse census twinned with
+    ``stream_dedup_watermark`` (rows-only): re-inject every 10th
+    event_id as a duplicate (the fixture's ids are unique, so the
+    duplicate population is manufactured deterministically, same
+    convention as the rows-only key) and report, per event_type, the
+    raw count, the surviving distinct count, and how many rows a
+    watermark-bounded ``dropDuplicatesWithinWatermark`` would have
+    collapsed.  Batch ``dropDuplicates`` ≡ the streaming form when
+    every duplicate arrives inside the watermark — the within-window
+    arrival constraint itself is asserted with micro-batches in
+    tests/test_streaming.py.  Single hash agg with a map-side
+    distinct partial; no extra exchange versus the rows-only twin.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    doubled = ev.unionByName(ev.where(F.col("event_id") % 10 == 0))
+    return doubled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_distinct("event_id").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("n_dropped"),
+    )
+
+
+@query(
     "stream_stateful_counter",
     oracle="""
     SELECT

@@ -34,3 +34,26 @@ def test_rows_only_keys_run(spark, key):
 def test_every_query_key_is_snake_case():
     for key in QUERIES:
         assert key.replace("_", "").isalnum() and key == key.lower()
+
+
+def test_declared_outputs_are_hash_safe(spark):
+    """The driver's comparator hashes declared rows cell by cell; a
+    nested cell (array/map/struct) crashed its rows-only path in r3
+    (`multimodal_features`: unhashable numpy.ndarray). Guard the whole
+    registry: every DECLARED output — oracle-keyed or rows-only — must
+    consist of atomic columns only. Nested types remain first-class
+    *inside* pipelines (toks arrays, meta structs…); they just may not
+    be a declared query's final schema."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for key, fn in QUERIES.items():
+        schema = fn(spark, SF_DIR).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            bad[key] = nested
+    assert not bad, f"non-hash-safe declared outputs: {bad}"

@@ -102,14 +102,16 @@ def test_sessionize_single_shuffle(spark):
     from bigdataprojectspring16_spark.operators import analytics
 
     plan = _physical(analytics.sessionize_gap_batch(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1
+    # Bound, not pin (ADVICE r3): the bad shape is a SECOND exchange
+    # (one per window / one for the aggregate); fewer is never wrong.
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_latest_by_key_single_shuffle(spark):
     from bigdataprojectspring16_spark.operators import setops
 
     plan = _physical(setops.dedup_latest_by_key(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_runtime_bloom_filter_lever_engages(spark):
@@ -307,7 +309,9 @@ def test_chunk_overlap_fanout_is_narrow(spark):
     between the scan and the explode; the plan's only shuffles are
     the two keyed rollups."""
     plan = _physical(QUERIES["docs_chunk_overlap"](spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 2
+    # <= 2: the two keyed rollups; an exchange between scan and
+    # explode (the bad shape) would push the count to 3.
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_winsorize_fences_broadcast(spark):
@@ -345,7 +349,9 @@ def test_review_queue_windows_share_one_exchange(spark):
     over the SAME lang partitioning — the plan must pay exactly one
     hash exchange, not one per window direction."""
     plan = _physical(QUERIES["docs_review_queue"](spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1
+    # Bound, not pin (ADVICE r3): a per-window-direction second
+    # exchange is the regression this guards against.
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_q2_topk_is_take_ordered(spark):
@@ -360,7 +366,9 @@ def test_threshold_sweep_pair_stage_has_no_nested_loop_join(spark):
     sanctioned share denominator: a broadcast cross join against the
     1-row band-total frame."""
     plan = _physical(QUERIES["dedup_threshold_sweep"](spark, SF_DIR))
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # <= 1 (ADVICE r3): at most the sanctioned 1-row denominator
+    # cross join; a second nested loop would be the all-pairs shape.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
 
 
@@ -380,7 +388,11 @@ def test_kmeans_rounds_are_one_lazy_plan(spark):
     action/driver loop splits the rounds."""
     plan = _physical(QUERIES["kmeans_lloyd_rounds"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 3  # 2 rounds + final
+    # <= rounds + 1 (ADVICE r3): each nested loop is against the
+    # constant-size k x dim centroid frame (2 rounds + final); MORE
+    # would mean a fact-sized nested loop crept in, FEWER just means
+    # the optimizer fused a round.
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 3
 
 
 def test_pagerank_rounds_have_no_nested_loop_join(spark):
