@@ -44,9 +44,11 @@ MAX_ITERATIONS = 25
 #: When True, each round's localCheckpoint is lazy (eager=False) and
 #: is materialized BY the round's signature aggregate — one Spark job
 #: per round instead of two (checkpoint job + sig job), with lineage
-#: still truncated.  Flipped by tools/cc_ab_experiment.py; the shipped
-#: default records the A/B verdict (see SCALING.md §CC).
-LAZY_CHECKPOINT = False
+#: still truncated.  Shipped True: three interleaved A/Bs
+#: (tools/cc_ab_experiment.py, r4) measured 9.9% / 5.3% / 12.0%
+#: median reductions on graph_cluster_keep_best at sf0.1, B ≤ A in
+#: 13 of 19 pairs — consistent direction, see SCALING.md §CC.
+LAZY_CHECKPOINT = True
 
 
 def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
@@ -66,6 +68,21 @@ def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
     resulting closure is identical to ``dedup_near_jaccard``'s pair
     predicate because any member pair (a, b) of set-groups (A, B) has
     the same Jaccard as the rep pair.
+    """
+    rep_nodes, rep_edges, spokes = _near_dup_edge_parts(d, threshold)
+    return rep_edges.unionByName(spokes)
+
+
+def _near_dup_edge_parts(
+    d: DataFrame, threshold: float = 0.95
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The near-dup graph split into its contraction parts:
+    (rep_nodes(node), rep_edges(src, dst), spokes(src=member, dst=rep)).
+
+    Callers that only need the closure run the fixpoint over
+    rep_nodes/rep_edges and extend labels across the spokes afterwards
+    (:func:`components_over_docs`); callers that need the literal
+    member-level edge set union the parts (:func:`_near_dup_edges`).
     """
     from .dedup import prefix_filter_candidates
 
@@ -94,7 +111,34 @@ def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
         .where(inter.cast("double") / union >= threshold)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    return rep_edges.unionByName(spokes)
+    return rt.select(F.col("doc_id").alias("node")), rep_edges, spokes
+
+
+def components_over_docs(d: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """(doc_id, component) for the token-Jaccard ≥ threshold closure
+    over ALL documents, with the fixpoint run on the contracted
+    representative graph only (r4).
+
+    Identical-set members attach to their rep by a single spoke edge
+    and have no other edges, so component(member) = component(rep);
+    and since each rep is the MIN doc_id of its identical-set group,
+    the component minimum over the full graph equals the minimum over
+    its reps — labels are unchanged, the star-contraction just never
+    sees the |docs|-sized spoke set.  The fixpoint input therefore
+    scales with |distinct token sets| (the same contraction dividend
+    as the pair pipelines: 21% smaller at sf0.1, compounding with dup
+    density at 100 TB), and spoke members rejoin with ONE broadcast-
+    friendly equi-join after convergence.
+    """
+    rep_nodes, rep_edges, spokes = _near_dup_edge_parts(d, threshold)
+    rep_labels = connected_components(rep_nodes, rep_edges)
+    member_labels = (
+        spokes.join(rep_labels, spokes["dst"] == rep_labels["node"])
+        .select(F.col("src").alias("doc_id"), "component")
+    )
+    return rep_labels.select(
+        F.col("node").alias("doc_id"), "component"
+    ).unionByName(member_labels)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -254,10 +298,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion terminates (UNION-distinct over a finite label×node set).
     """
     d = load_table(spark, sf_dir, "documents")
-    edges = _near_dup_edges(d, 0.95)
-    nodes = d.select(F.col("doc_id").alias("node"))
     return (
-        connected_components(nodes, edges)
+        components_over_docs(d, 0.95)
         .groupBy(F.col("component").alias("comp_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
@@ -317,10 +359,7 @@ def graph_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side data.
     """
     d = load_table(spark, sf_dir, "documents")
-    edges = _near_dup_edges(d, 0.95)
-    comp = connected_components(
-        d.select(F.col("doc_id").alias("node")), edges
-    ).withColumnRenamed("node", "doc_id")
+    comp = components_over_docs(d, 0.95)
     score = F.col("n_chars") * 1000000 - F.col("doc_id")
     keep = (
         comp.join(d.select("doc_id", "n_chars"), "doc_id")

@@ -860,13 +860,10 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     component straddles splits holds by construction (split is a
     pure function of comp_id).
     """
-    from .graph import _near_dup_edges, connected_components
+    from .graph import components_over_docs
 
     d = load_table(spark, sf_dir, "documents")
-    edges = _near_dup_edges(d, 0.95)
-    comp = connected_components(
-        d.select(F.col("doc_id").alias("node")), edges
-    ).withColumnRenamed("node", "doc_id")
+    comp = components_over_docs(d, 0.95)
     bucket = ((F.col("component") % 100003) * F.lit(2654435761)) % 100
     assigned = comp.join(d.select("doc_id", "lang"), "doc_id").select(
         "lang",

@@ -86,3 +86,29 @@ def test_documents_clusters_match_pair_closure(spark):
         truth.setdefault(find(x), set()).add(x)
     expect = {min(m): len(m) for m in truth.values() if len(m) >= 2}
     assert sizes == expect
+
+
+def test_components_over_contraction_equals_full_graph(spark):
+    """The r4 rep-graph fixpoint (components_over_docs: CC over
+    distinct token sets + spoke label extension) must label every doc
+    identically to the full member-level graph at any threshold —
+    including a denser 0.8 graph whose clusters mix identical-set
+    groups with cross-set near-dup chains."""
+    from bigdataprojectspring16_spark.llmops.graph import (
+        _near_dup_edges,
+        components_over_docs,
+    )
+    from bigdataprojectspring16_spark.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    for threshold in (0.8, 0.95):
+        full = connected_components(
+            d.select(F.col("doc_id").alias("node")),
+            _near_dup_edges(d, threshold),
+        )
+        got = sorted(
+            (r.doc_id, r.component)
+            for r in components_over_docs(d, threshold).collect()
+        )
+        want = sorted((r.node, r.component) for r in full.collect())
+        assert got == want, f"threshold {threshold}"
