@@ -90,16 +90,22 @@ def _near_dup_edge_parts(
         "doc_id",
         F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("toks"),
     ).withColumn("set_key", F.sha2(F.concat_ws(" ", "toks"), 256))
-    reps = t.groupBy("set_key").agg(
-        F.min("doc_id").alias("doc_id"), F.first("toks").alias("toks")
-    )
+    # The spoke map and rep node-set never need the token arrays —
+    # build them from the 32-byte digest column only, so the label-
+    # extension path (components_over_docs) re-evaluates a narrow
+    # digest shuffle, never the array-carrying lineage.
+    digests = t.select("doc_id", "set_key")
+    rep_ids = digests.groupBy("set_key").agg(F.min("doc_id").alias("rep"))
     spokes = (
-        t.select("doc_id", "set_key")
-        .join(reps.select("set_key", F.col("doc_id").alias("rep")), "set_key")
+        digests.join(rep_ids, "set_key")
         .where(F.col("doc_id") != F.col("rep"))
         .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"))
     )
-    rt = reps.select("doc_id", "toks")
+    rt = t.join(
+        rep_ids,
+        (t["set_key"] == rep_ids["set_key"])
+        & (t["doc_id"] == rep_ids["rep"]),
+    ).select(t["doc_id"], "toks")
     cand = prefix_filter_candidates(rt, threshold)
     ta = rt.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = rt.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
@@ -111,7 +117,8 @@ def _near_dup_edge_parts(
         .where(inter.cast("double") / union >= threshold)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    return rt.select(F.col("doc_id").alias("node")), rep_edges, spokes
+    rep_nodes = rep_ids.select(F.col("rep").alias("node"))
+    return rep_nodes, rep_edges, spokes
 
 
 def components_over_docs(d: DataFrame, threshold: float = 0.95) -> DataFrame:
