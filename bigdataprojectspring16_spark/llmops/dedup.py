@@ -21,6 +21,23 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load_table
 
+#: When True, frames referenced from several plan branches (the
+#: contracted rep/member frames, the prefix posting table, the band
+#: signature table) get a LAZY localCheckpoint so each is evaluated
+#: once per query instead of once per reference (Catalyst has no
+#: cross-branch common-subexpression elimination; the r3 receipts
+#: showed 40-72 parquet scans in one near-dup plan).  Flag exists for
+#: the interleaved A/B in tools/dedup_barrier_ab.py; the shipped value
+#: records the measured verdict (SCALING.md §K): False — at fixture
+#: scale the barriers SERIALIZE the DAG (each checkpoint is a job
+#: boundary the scheduler must drain) and the lost pipelining costs
+#: more than the bounded number of re-evaluations saves
+#: (dedup_minhash_lsh -19.8% median, B slower in 5/5 interleaved
+#: pairs).  The knob exists because the trade inverts when scans
+#: dominate: at 100 TB each re-evaluation re-reads and re-tokenizes
+#: the corpus, and a deployment flips this True.
+MATERIALIZE_SHARED = False
+
 
 def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
     """Collapse docs with identical sets to one representative.
@@ -57,7 +74,22 @@ def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
     reps = with_rep.where(F.col("doc_id") == F.col("rep_id")).select(
         "doc_id", set_col
     )
-    return reps, members
+    # Lazy materialization barrier (r4): every caller references reps
+    # and/or members several times (signature agg, size frames, both
+    # verify sides, the member expansion), and Catalyst performs no
+    # cross-reference common-subexpression elimination — without the
+    # barrier each reference re-runs the tokenize + digest + contract
+    # lineage from the parquet scan (the r3 receipts show 40-72 scans
+    # in ONE near-dup plan).  eager=False keeps the declared query a
+    # single driver action; the first action materializes each frame
+    # once and later references read the checkpointed blocks.  At
+    # 100 TB re-tokenizing the corpus per reference is the dominant
+    # avoidable cost; the checkpoint stores only (doc_id, set) rows.
+    if not MATERIALIZE_SHARED:
+        return reps, members
+    return reps.localCheckpoint(eager=False), members.localCheckpoint(
+        eager=False
+    )
 
 
 def expand_rep_pairs(
@@ -177,6 +209,14 @@ def prefix_filter_candidates(
     prefix = prefix.repartition(
         t.sparkSession.sparkContext.defaultParallelism, "term"
     )
+    if MATERIALIZE_SHARED:
+        prefix = prefix.localCheckpoint(eager=False)
+    # ^ lazy barrier AFTER the pinned repartition: both join sides
+    # below reference `prefix`, and without it each side re-runs the
+    # explode + document-frequency + window lineage (no cross-branch
+    # CSE in Catalyst).  LogicalRDD preserves the hash partitioning,
+    # so the self-join still sees co-partitioned inputs — one
+    # materialized shuffle total, now genuinely evaluated once.
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"),
@@ -401,6 +441,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "sz", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
         )
     )
+    if MATERIALIZE_SHARED:
+        # Lazy barrier: the band self-join below references this frame
+        # twice; without it each side re-runs the 16-way minhash
+        # aggregation over the exploded token stream.
+        bands = bands.localCheckpoint(eager=False)
     cand = (
         bands.select(
             F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "band", "sig"

@@ -50,6 +50,12 @@ MAX_ITERATIONS = 25
 #: 13 of 19 pairs — consistent direction, see SCALING.md §CC.
 LAZY_CHECKPOINT = True
 
+#: Gate for the loop-invariant-frame checkpoints in
+#: graph_pagerank_rounds (edge set / degrees / node set).  See the
+#: measured verdict in SCALING.md §CC; tools/pagerank_barrier_ab.py
+#: reproduces the A/B.
+MATERIALIZE_INVARIANTS = True
+
 
 def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Undirected token-Jaccard ≥ threshold edges (src, dst) with the
@@ -442,9 +448,30 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v"))
-    e0 = a.join(b, "okey").where(F.col("u") != F.col("v")).select("u", "v").distinct()
+    # The edge set, degrees, and node set are loop-INVARIANT but appear
+    # in every unrolled round, and Catalyst performs no cross-round
+    # common-subexpression elimination: without a materialization
+    # barrier the r3 plan re-derived them per round — 32 lineitem scans
+    # and 64 aggregates in one query (PLANS.md r3 receipt).  Lazy
+    # localCheckpoints materialize each ONCE under the final action
+    # (still no driver loop, still a single declared plan) and every
+    # round re-reads the checkpointed blocks.  Gated by
+    # MATERIALIZE_INVARIANTS (A/B: tools/pagerank_barrier_ab.py).
+    e0 = (
+        a.join(b, "okey")
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
     nodes = li.select(F.col("l_partkey").alias("pid")).distinct()
-    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    deg_src = e0
+    if MATERIALIZE_INVARIANTS:
+        e0 = e0.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+        deg_src = e0
+    deg = deg_src.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    if MATERIALIZE_INVARIANTS:
+        deg = deg.localCheckpoint(eager=False)
     ranks = nodes.select("pid", F.lit(1.0).alias("pr"))
     for _ in range(3):
         inflow = (
