@@ -66,11 +66,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_dedup_census",
     # -- group 3: CC fixpoint pair (r4 perf work touches it) --
     "graph_cluster_keep_best", "graph_connected_components",
-    # -- group 4: oldest-signal refreshes (last checked r1) --
-    "join_asof", "join_asof_forward", "join_skew_events_customers",
-    "subquery_correlated", "sample_domain_cap", "agg_percentiles",
-    "agg_histogram_bins", "window_range_frame", "window_share_of_total",
-    "sort_multikey", "limit_topk",
+    # -- group 4: the dedup module changed this round (barrier-knob
+    #    refactor, shipped flag-off = identical plans; all four
+    #    re-MATCHed locally) — changed code re-verifies first --
+    "dedup_minhash_lsh", "dedup_near_jaccard", "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    # -- group 5: oldest-signal refreshes (last checked r1) --
+    "join_asof", "join_skew_events_customers", "subquery_correlated",
+    "agg_percentiles", "window_range_frame", "sort_multikey",
+    "limit_topk",
 ]
 
 
