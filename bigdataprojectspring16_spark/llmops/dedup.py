@@ -35,7 +35,12 @@ from ..tables import load_table
 #: (dedup_minhash_lsh -19.8% median, B slower in 5/5 interleaved
 #: pairs).  The knob exists because the trade inverts when scans
 #: dominate: at 100 TB each re-evaluation re-reads and re-tokenizes
-#: the corpus, and a deployment flips this True.
+#: the corpus, and a deployment flips this True — substituting a
+#: RELIABLE materialization for localCheckpoint: executor-local
+#: checkpoint blocks are unreplicated and the truncated lineage makes
+#: them unrecoverable on executor loss, fine on local[n], fatal on a
+#: preemptible cluster (use persist(MEMORY_AND_DISK_2) or a
+#: checkpoint() to durable storage there).
 MATERIALIZE_SHARED = False
 
 

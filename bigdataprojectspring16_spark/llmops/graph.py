@@ -464,12 +464,10 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     nodes = li.select(F.col("l_partkey").alias("pid")).distinct()
-    deg_src = e0
     if MATERIALIZE_INVARIANTS:
         e0 = e0.localCheckpoint(eager=False)
         nodes = nodes.localCheckpoint(eager=False)
-        deg_src = e0
-    deg = deg_src.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     if MATERIALIZE_INVARIANTS:
         deg = deg.localCheckpoint(eager=False)
     ranks = nodes.select("pid", F.lit(1.0).alias("pr"))

@@ -15,7 +15,7 @@ import pytest
 from bigdataprojectspring16_spark import QUERIES
 from bigdataprojectspring16_spark.llmops import dedup, graph
 
-SF_DIR = "/root/testdata/sf0.001"
+from .conftest import SF_SMALL as SF_DIR
 
 
 def _rows(spark, key):

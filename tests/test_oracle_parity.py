@@ -12,7 +12,7 @@ import pytest
 
 from bigdataprojectspring16_spark import ORACLES, QUERIES
 
-from .conftest import SF_DIR, assert_matches_oracle
+from .conftest import SF_DIR, SF_SMALL, assert_matches_oracle
 
 ORACLE_KEYS = sorted(ORACLES)
 ROWS_ONLY_KEYS = sorted(set(QUERIES) - set(ORACLES))
@@ -48,7 +48,10 @@ def test_declared_outputs_are_hash_safe(spark):
 
     bad = {}
     for key, fn in QUERIES.items():
-        schema = fn(spark, SF_DIR).schema
+        # sf0.001: schemas are sf-invariant, and constructing the CC /
+        # iterative queries runs their fixpoint jobs eagerly — the
+        # smallest fixture keeps this schema-only sweep cheap.
+        schema = fn(spark, SF_SMALL).schema
         nested = [
             f.name
             for f in schema.fields
