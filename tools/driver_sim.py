@@ -14,6 +14,7 @@ Floats keep the tolerant `%.6g` rendering (both engines emit float64
 for the same expressions; only aggregation-order jitter differs).
 """
 import datetime
+import os
 import decimal
 import hashlib
 import math
@@ -26,7 +27,7 @@ import __spark_entry__ as mod
 
 from bigdataprojectspring16_spark import get_session
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 spark = get_session("driver-sim")
