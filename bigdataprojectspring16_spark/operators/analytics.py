@@ -292,12 +292,21 @@ def sessionize_gap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = ts_seconds(F.col("ts")) - F.lag(ts_seconds(F.col("ts"))).over(w)
+    # Gap at FULL microsecond precision (unix_micros), not epoch
+    # seconds: floor(a) - floor(b) can equal 1800 while the true gap
+    # exceeds 30 minutes by a fraction (e.g. b=...0.2s, a=...+1800.3s),
+    # silently disagreeing with the oracle's exact INTERVAL compare —
+    # the same truncation class the r4 sf0.1 sweep caught on
+    # window_range_frame, latent here at fixture density.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
     marked = ev.select(
         "user_id",
         "ts",
         "value",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
     )
     w2 = (
         Window.partitionBy("user_id")

@@ -133,17 +133,30 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user rolling 1-hour sum of value (range frame on event time)."""
+    """Per-user rolling 1-hour sum of value (range frame on event time).
+
+    The frame is an INTERVAL range on the raw timestamp (SQL window
+    spec — the DataFrame ``rangeBetween`` API takes only numeric
+    offsets).  An earlier form ordered by epoch seconds with
+    ``rangeBetween(-3600, 0)``; that truncates sub-second parts, so an
+    event 3600.4 s back could land inside the truncated frame and
+    same-second events become frame peers — undetectable at
+    sf≤0.01 and a real hash divergence at sf0.1's event density
+    (caught by the r4 sf0.1 sweep, tools/receipts/).  Micro-precision
+    interval frames match the oracle's RANGE semantics exactly at any
+    density.
+    """
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(ts_seconds(F.col("ts")))
-        .rangeBetween(-3600, 0)
-    )
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 6).alias("rolling_1h_value"),
+        F.round(
+            F.expr(
+                "sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+                "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+            ),
+            6,
+        ).alias("rolling_1h_value"),
     )
 
 
