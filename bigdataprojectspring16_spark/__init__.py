@@ -71,10 +71,12 @@ _DRIVER_WINDOW_PRIORITY = [
     #    re-MATCHed locally) — changed code re-verifies first --
     "dedup_minhash_lsh", "dedup_near_jaccard", "dedup_ngram_jaccard",
     "dedup_edit_distance",
-    # -- group 5: oldest-signal refreshes (last checked r1) --
+    # -- group 5: changed late in r4 (sub-second truncation fixes;
+    #    window_range_frame re-verifies here, sessionize_gap_batch
+    #    takes a refresh slot) + oldest-signal r1 refreshes --
+    "window_range_frame", "sessionize_gap_batch",
     "join_asof", "join_skew_events_customers", "subquery_correlated",
-    "agg_percentiles", "window_range_frame", "sort_multikey",
-    "limit_topk",
+    "agg_percentiles", "sort_multikey",
 ]
 
 
