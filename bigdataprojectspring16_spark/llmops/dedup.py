@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.barriers import barrier, conf_knob
 from ..registry import query
 from ..tables import load_table
 
@@ -42,6 +43,11 @@ from ..tables import load_table
 #: preemptible cluster (use persist(MEMORY_AND_DISK_2) or a
 #: checkpoint() to durable storage there).
 MATERIALIZE_SHARED = False
+MATERIALIZE_SHARED_CONF = "spark.bigdataprojectspring16.materializeShared"
+
+
+def _materialize_shared(df):
+    return conf_knob(df.sparkSession, MATERIALIZE_SHARED_CONF, MATERIALIZE_SHARED)
 
 
 def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
@@ -90,11 +96,9 @@ def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
     # once and later references read the checkpointed blocks.  At
     # 100 TB re-tokenizing the corpus per reference is the dominant
     # avoidable cost; the checkpoint stores only (doc_id, set) rows.
-    if not MATERIALIZE_SHARED:
+    if not _materialize_shared(t):
         return reps, members
-    return reps.localCheckpoint(eager=False), members.localCheckpoint(
-        eager=False
-    )
+    return barrier(reps), barrier(members)
 
 
 def expand_rep_pairs(
@@ -214,8 +218,8 @@ def prefix_filter_candidates(
     prefix = prefix.repartition(
         t.sparkSession.sparkContext.defaultParallelism, "term"
     )
-    if MATERIALIZE_SHARED:
-        prefix = prefix.localCheckpoint(eager=False)
+    if _materialize_shared(t):
+        prefix = barrier(prefix)
     # ^ lazy barrier AFTER the pinned repartition: both join sides
     # below reference `prefix`, and without it each side re-runs the
     # explode + document-frequency + window lineage (no cross-branch
@@ -446,11 +450,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "sz", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
         )
     )
-    if MATERIALIZE_SHARED:
+    if _materialize_shared(t):
         # Lazy barrier: the band self-join below references this frame
         # twice; without it each side re-runs the 16-way minhash
         # aggregation over the exploded token stream.
-        bands = bands.localCheckpoint(eager=False)
+        bands = barrier(bands)
     cand = (
         bands.select(
             F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "band", "sig"

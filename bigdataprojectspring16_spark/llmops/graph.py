@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.barriers import barrier, conf_knob
 from ..registry import query
 from ..tables import load_table
 
@@ -49,12 +50,29 @@ MAX_ITERATIONS = 25
 #: median reductions on graph_cluster_keep_best at sf0.1, B ≤ A in
 #: 13 of 19 pairs — consistent direction, see SCALING.md §CC.
 LAZY_CHECKPOINT = True
+LAZY_CHECKPOINT_CONF = "spark.bigdataprojectspring16.lazyCheckpoint"
 
 #: Gate for the loop-invariant-frame checkpoints in
 #: graph_pagerank_rounds (edge set / degrees / node set).  See the
 #: measured verdict in SCALING.md §CC; tools/pagerank_barrier_ab.py
 #: reproduces the A/B.
 MATERIALIZE_INVARIANTS = True
+MATERIALIZE_INVARIANTS_CONF = (
+    "spark.bigdataprojectspring16.materializeInvariants"
+)
+
+#: Edge-build strategy for graph_pagerank_rounds: "group" (default,
+#: r5) aggregates per-order part lists and generates each unordered
+#: co-order pair ONCE from the sorted array (combination expansion is
+#: narrow — no shuffle), so the dominating global distinct dedups
+#: |pairs|/2 rows and the directed edge set is recovered by a
+#: shuffle-free union with the swapped copy; "selfjoin" (r3/r4 form)
+#: self-joins lineitem on the order key and dedups both directions.
+#: A/B receipt: tools/pagerank_edge_ab.py → SCALING.md §PR.
+PAGERANK_EDGE_BUILD = "group"
+PAGERANK_EDGE_BUILD_CONF = (
+    "spark.bigdataprojectspring16.pagerankEdgeBuild"
+)
 
 
 def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
@@ -107,11 +125,14 @@ def _near_dup_edge_parts(
         .where(F.col("doc_id") != F.col("rep"))
         .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"))
     )
+    # doc_id == rep alone selects exactly the representative rows: each
+    # doc_id occurs once in `digests`, so doc_id determines set_key, and
+    # rep is that group's min doc_id — no set_key equality needed (the
+    # r4 form's extra set_key predicate resolved both sides to the same
+    # attribute and was dead code; left-semi keeps the join key-only).
     rt = t.join(
-        rep_ids,
-        (t["set_key"] == rep_ids["set_key"])
-        & (t["doc_id"] == rep_ids["rep"]),
-    ).select(t["doc_id"], "toks")
+        rep_ids.select(F.col("rep").alias("doc_id")), "doc_id", "semi"
+    ).select("doc_id", "toks")
     cand = prefix_filter_candidates(rt, threshold)
     ta = rt.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = rt.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
@@ -222,13 +243,16 @@ def cc_with_rounds(
     probe compares the (tiny, star-shaped) edge sets symmetric-
     differentially and only ships an emptiness bit to the driver.
     """
-    e = (
+    lazy = conf_knob(
+        edges.sparkSession, LAZY_CHECKPOINT_CONF, LAZY_CHECKPOINT
+    )
+    e = barrier(
         edges.select(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
         .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=not LAZY_CHECKPOINT)
+        .distinct(),
+        eager=not lazy,
     )
 
     def sig(df: DataFrame):
@@ -244,9 +268,7 @@ def cc_with_rounds(
     rounds = 0
     for _ in range(MAX_ITERATIONS):
         rounds += 1
-        new = _small_star(_large_star(e)).localCheckpoint(
-            eager=not LAZY_CHECKPOINT
-        )
+        new = barrier(_small_star(_large_star(e)), eager=not lazy)
         # Convergence probe in two tiers: a narrow signature aggregate
         # every round (no shuffle), and only on signature equality the
         # exact set comparison that proves the fixpoint — so the
@@ -446,30 +468,76 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     total (pr DESC, pid) order.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v"))
+    mat = conf_knob(
+        spark, MATERIALIZE_INVARIANTS_CONF, MATERIALIZE_INVARIANTS
+    )
+    strategy = (
+        spark.conf.get(PAGERANK_EDGE_BUILD_CONF, None) or PAGERANK_EDGE_BUILD
+    )
     # The edge set, degrees, and node set are loop-INVARIANT but appear
     # in every unrolled round, and Catalyst performs no cross-round
     # common-subexpression elimination: without a materialization
     # barrier the r3 plan re-derived them per round — 32 lineitem scans
     # and 64 aggregates in one query (PLANS.md r3 receipt).  Lazy
-    # localCheckpoints materialize each ONCE under the final action
+    # barriers materialize each ONCE under the final action
     # (still no driver loop, still a single declared plan) and every
-    # round re-reads the checkpointed blocks.  Gated by
+    # round re-reads the stored blocks.  Gated by
     # MATERIALIZE_INVARIANTS (A/B: tools/pagerank_barrier_ab.py).
-    e0 = (
-        a.join(b, "okey")
-        .where(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    if strategy == "group":
+        # r5: one keyed aggregate builds the sorted per-order part
+        # set; each unordered pair is generated ONCE (u < v) by a
+        # narrow combination expansion over the array — the dominant
+        # global distinct then dedups half the rows of the self-join
+        # form, and the directed edge set is recovered shuffle-free
+        # by unioning the swapped copy of the (barriered) undirected
+        # set.  Per-order fan-out is lines-per-order²/2, same bound.
+        und = (
+            li.groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            "ps",
+                            lambda x, i: F.transform(
+                                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                                lambda y: F.struct(
+                                    x.alias("u"), y.alias("v")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
+            .distinct()
+        )
+        if mat:
+            und = barrier(und)
+        e0 = und.unionByName(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    else:
+        a = li.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u")
+        )
+        b = li.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v")
+        )
+        e0 = (
+            a.join(b, "okey")
+            .where(F.col("u") != F.col("v"))
+            .select("u", "v")
+            .distinct()
+        )
+        if mat:
+            e0 = barrier(e0)
     nodes = li.select(F.col("l_partkey").alias("pid")).distinct()
-    if MATERIALIZE_INVARIANTS:
-        e0 = e0.localCheckpoint(eager=False)
-        nodes = nodes.localCheckpoint(eager=False)
+    if mat:
+        nodes = barrier(nodes)
     deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    if MATERIALIZE_INVARIANTS:
-        deg = deg.localCheckpoint(eager=False)
+    if mat:
+        deg = barrier(deg)
     ranks = nodes.select("pid", F.lit(1.0).alias("pr"))
     for _ in range(3):
         inflow = (

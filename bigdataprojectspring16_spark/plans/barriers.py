@@ -1,0 +1,87 @@
+"""Materialization barriers with a configurable durability mode.
+
+The iterative/fixpoint plans (connected components, the unrolled
+PageRank rounds, the shared dedup signature frames) need a
+*materialization barrier*: a point where a frame is computed once and
+later references read stored blocks instead of re-deriving lineage.
+``localCheckpoint`` is the single-node/fixture-scale tool — but its
+blocks are executor-local and UNREPLICATED, so on a real cluster one
+lost executor kills the query (the lineage is truncated; Spark cannot
+recompute the blocks). This module makes the barrier *mechanism* a
+session-conf choice so the same declared plan runs:
+
+- ``local``      (default) lazy ``localCheckpoint`` — fastest, the
+                 measured fixture-scale winner (SCALING.md §CC);
+- ``eager``      eager ``localCheckpoint`` — a job per barrier;
+- ``durable``    ``checkpoint()`` to the reliable checkpoint dir
+                 (``SparkContext.setCheckpointDir`` — HDFS/S3 on a
+                 cluster) — survives any executor loss; the 100 TB
+                 deployment path for multi-hour fixpoints.
+
+A ``persist(MEMORY_AND_DISK_2)`` mode was tried and REJECTED (r5,
+measured): persist replicates blocks but does NOT truncate lineage,
+and the CC fixpoint references each round's frame several times
+(star expansion + the convergence probe), so the logical plan tree
+grows exponentially with rounds — at ~15 rounds the driver OOMs just
+*stringifying* the plan (java.lang.OutOfMemoryError in
+QueryExecution.explainString). Lineage truncation is a correctness-
+of-operation requirement for unbounded fixpoints, which only the
+checkpoint family provides; replication alone is not a substitute.
+
+Equivalence of all modes is pinned by tests/test_barrier_knobs.py —
+the barrier changes physical materialization only, never results.
+
+Per ADVICE r4, knobs are read from session conf at plan-construction
+time (per-session, race-free) with the module globals as defaults, so
+single-process tools/tests may still flip the globals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Session-conf key selecting the barrier mechanism (values above).
+BARRIER_MODE_CONF = "spark.bigdataprojectspring16.barrierMode"
+
+_MODES = ("local", "eager", "durable")
+
+
+def barrier_mode(spark: SparkSession) -> str:
+    """The active barrier mode for this session (default ``local``)."""
+    mode = spark.conf.get(BARRIER_MODE_CONF, "local")
+    if mode not in _MODES:
+        raise ValueError(
+            f"{BARRIER_MODE_CONF}={mode!r}: expected one of {_MODES}"
+        )
+    return mode
+
+
+def barrier(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Materialization barrier under the session's barrier mode.
+
+    ``eager`` is honored by the ``local`` / ``durable`` modes;
+    ``eager`` mode is eager by definition.
+    """
+    mode = barrier_mode(df.sparkSession)
+    if mode == "durable":
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise RuntimeError(
+                "barrierMode=durable requires "
+                "SparkContext.setCheckpointDir(<reliable storage>)"
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager or mode == "eager")
+
+
+def conf_knob(spark: SparkSession, conf_key: str, module_default: bool) -> bool:
+    """Boolean knob: session conf wins, module global is the default.
+
+    Routing reads through session conf (ADVICE r4) means concurrent
+    query construction in different sessions can hold different knob
+    settings without racing on module state; the module globals remain
+    the single-process default and the A/B-tool surface.
+    """
+    v = spark.conf.get(conf_key, None)
+    if v is None:
+        return module_default
+    return str(v).strip().lower() in ("1", "true", "yes")

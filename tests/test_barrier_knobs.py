@@ -60,3 +60,75 @@ def test_lazy_checkpoint_both_settings_identical(spark):
     finally:
         graph.LAZY_CHECKPOINT = saved
     assert base == alt
+
+
+# --- r5: barrier MECHANISM modes (plans/barriers.py) ----------------
+#
+# The structural knobs above decide WHERE barriers sit; the barrier
+# mode decides HOW each materializes (local/eager localCheckpoint vs
+# durable checkpoint() — the cluster fault-tolerance path from the
+# r4 verdict). Every mode must be result-identical on keys
+# that exercise every barrier site: the CC fixpoint loop, the
+# PageRank loop invariants, and (with MATERIALIZE_SHARED forced on)
+# the dedup shared frames.  (A replicated-persist mode was measured
+# and rejected — persist keeps lineage, and the fixpoint's plan tree
+# grows exponentially with rounds; see plans/barriers.py docstring.)
+
+from bigdataprojectspring16_spark.plans import barriers  # noqa: E402
+
+_BARRIER_KEYS = [
+    "graph_connected_components",
+    "graph_pagerank_rounds",
+    "dedup_minhash_lsh",
+    "dedup_near_jaccard",
+]
+
+
+@pytest.mark.parametrize("mode", ["eager", "durable"])
+def test_barrier_modes_result_identical(spark, tmp_path, mode):
+    saved_shared = dedup.MATERIALIZE_SHARED
+    dedup.MATERIALIZE_SHARED = True
+    try:
+        base = {k: _rows(spark, k) for k in _BARRIER_KEYS}
+        if mode == "durable":
+            spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        spark.conf.set(barriers.BARRIER_MODE_CONF, mode)
+        for k in _BARRIER_KEYS:
+            assert _rows(spark, k) == base[k], (mode, k)
+    finally:
+        spark.conf.unset(barriers.BARRIER_MODE_CONF)
+        dedup.MATERIALIZE_SHARED = saved_shared
+
+
+def test_barrier_mode_rejects_unknown_value(spark):
+    spark.conf.set(barriers.BARRIER_MODE_CONF, "bogus")
+    try:
+        with pytest.raises(ValueError, match="barrierMode"):
+            barriers.barrier_mode(spark)
+    finally:
+        spark.conf.unset(barriers.BARRIER_MODE_CONF)
+
+
+def test_conf_knob_overrides_module_global(spark):
+    # Session conf wins over the module default (ADVICE r4: per-query
+    # overrides must not race on module state).
+    assert barriers.conf_knob(spark, "spark.bigdataprojectspring16.x", True)
+    spark.conf.set("spark.bigdataprojectspring16.x", "false")
+    try:
+        assert not barriers.conf_knob(
+            spark, "spark.bigdataprojectspring16.x", True
+        )
+    finally:
+        spark.conf.unset("spark.bigdataprojectspring16.x")
+
+
+def test_pagerank_edge_build_both_strategies_identical(spark):
+    saved = graph.PAGERANK_EDGE_BUILD
+    try:
+        graph.PAGERANK_EDGE_BUILD = "group"
+        base = _rows(spark, "graph_pagerank_rounds")
+        graph.PAGERANK_EDGE_BUILD = "selfjoin"
+        alt = _rows(spark, "graph_pagerank_rounds")
+    finally:
+        graph.PAGERANK_EDGE_BUILD = saved
+    assert base == alt
