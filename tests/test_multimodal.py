@@ -89,3 +89,26 @@ def test_frame_sampling_explodes_one_to_many(assets):
         "doc_id", F.length("frame_bytes").alias("len0")
     )
     assert one.where(F.col("len0") > 64).count() == 0
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_fixture_corpus_is_pure_ascii(sf_dir):
+    """Pin the invariant the multimodal_features ORACLE leans on
+    (ADVICE r4): the oracle reconstructs payload bytes per-character
+    via ascii(substring(text, i, 1)) while the Spark side hashes the
+    UTF-8 encoding — equivalent ONLY while every fixture character is
+    single-byte ASCII. A future multi-byte fixture must fail HERE,
+    at the named invariant, not as a confusing hash mismatch.
+    """
+    import duckdb
+
+    n = duckdb.sql(
+        f"""
+        SELECT count(*) FROM '{sf_dir}/documents.parquet'
+        WHERE octet_length(encode(text)) <> length(text)
+        """
+    ).fetchone()[0]
+    assert n == 0, f"{n} non-ASCII document(s) in {sf_dir}"

@@ -102,16 +102,23 @@ def test_sessionize_single_shuffle(spark):
     from bigdataprojectspring16_spark.operators import analytics
 
     plan = _physical(analytics.sessionize_gap_batch(spark, SF_DIR))
-    # Bound, not pin (ADVICE r3): the bad shape is a SECOND exchange
-    # (one per window / one for the aggregate); fewer is never wrong.
+    # Bound above AND anchor below (ADVICE r3 + r4): the bad shapes
+    # are a SECOND exchange (one per window / one for the aggregate)
+    # and a degenerate ZERO-exchange plan (e.g. a planner change
+    # collapsing to a single-partition sort) — the user_id hash
+    # partitioning is semantically required, so its key must appear.
     assert plan.count("Exchange hashpartitioning") <= 1
+    assert "hashpartitioning(user_id" in plan
 
 
 def test_latest_by_key_single_shuffle(spark):
     from bigdataprojectspring16_spark.operators import setops
 
     plan = _physical(setops.dedup_latest_by_key(spark, SF_DIR))
+    # Upper bound + required-key anchor (ADVICE r4): see
+    # test_sessionize_single_shuffle.
     assert plan.count("Exchange hashpartitioning") <= 1
+    assert "hashpartitioning(user_id" in plan
 
 
 def test_runtime_bloom_filter_lever_engages(spark):
@@ -350,8 +357,10 @@ def test_review_queue_windows_share_one_exchange(spark):
     hash exchange, not one per window direction."""
     plan = _physical(QUERIES["docs_review_queue"](spark, SF_DIR))
     # Bound, not pin (ADVICE r3): a per-window-direction second
-    # exchange is the regression this guards against.
+    # exchange is the regression this guards against; the lang key
+    # anchor rules out a degenerate zero-exchange plan (ADVICE r4).
     assert plan.count("Exchange hashpartitioning") <= 1
+    assert "hashpartitioning(lang" in plan
 
 
 def test_q2_topk_is_take_ordered(spark):
