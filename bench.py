@@ -64,14 +64,24 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     timings: dict[str, float] = {}
+    job_counts: dict[str, int] = {}
     for key in HEADLINE:
         fn = QUERIES[key]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warmup
         best = float("inf")
-        for _ in range(RUNS):
+        for i in range(RUNS):
+            # Per-run job group: the Spark job COUNT of a run is a
+            # deterministic property of the plan (unlike wall time),
+            # so recording it makes noise-vs-regression adjudication
+            # of the fixpoint queries mechanical (VERDICT r4 item 7).
+            group = f"{key}#run{i}"
+            spark.sparkContext.setJobGroup(group, key)
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            job_counts[key] = len(
+                spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+            )
         timings[key] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
@@ -88,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "original12_sec": original12,
                 "queries": timings,
+                "jobs": job_counts,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -44,39 +44,37 @@ from .operators import scans, projection, joins, aggregates, windows, sorts  # n
 #   4. 11 refresh slots for keys last checked in r1, spread across
 #      modules, so the oldest hard signal keeps rotating forward.
 _DRIVER_WINDOW_PRIORITY = [
-    # -- group 1: the 34-key never-driver-checked backlog --
-    "rollup_incremental_merge", "tpch_q4_late_order_priority",
-    "tpch_q21_sole_late_supplier", "tpch_q22_idle_customers",
-    "orders_market_basket", "events_decayed_user_value",
-    "tpch_q2_min_cost_supplier", "supplier_return_rate_topk",
-    "events_inter_arrival_stats", "orders_open_backlog_by_month",
-    "events_time_heatmap", "udf_batch_model_score",
-    "stream_join_pairs", "graph_pagerank_rounds",
-    "docs_leakage_safe_split", "dedup_incremental_batch",
-    "text_bigram_pmi", "embeddings_dim_stats", "text_vocab_coverage",
-    "embeddings_whiten_qa", "docs_review_queue",
-    "dedup_threshold_sweep", "text_perplexity_bigram",
-    "kmeans_lloyd_rounds", "docs_fold_contamination",
-    "multimodal_block_dedup", "multimodal_payload_near_dup",
-    "sample_kfold_stratified", "subquery_scalar_agg",
-    "join_range_bucketed", "agg_salted_topk", "agg_multi_distinct",
-    "window_rolling_median", "sort_nulls_boundary",
-    # -- group 2: changed / added this round --
-    "multimodal_features", "stream_late_events_census",
-    "stream_dedup_census",
-    # -- group 3: CC fixpoint pair (r4 perf work touches it) --
-    "graph_cluster_keep_best", "graph_connected_components",
-    # -- group 4: the dedup module changed this round (barrier-knob
-    #    refactor, shipped flag-off = identical plans; all four
-    #    re-MATCHed locally) — changed code re-verifies first --
-    "dedup_minhash_lsh", "dedup_near_jaccard", "dedup_ngram_jaccard",
-    "dedup_edit_distance",
-    # -- group 5: changed late in r4 (sub-second truncation fixes;
-    #    window_range_frame re-verifies here, sessionize_gap_batch
-    #    takes a refresh slot) + oldest-signal r1 refreshes --
-    "window_range_frame", "sessionize_gap_batch",
-    "join_asof", "join_skew_events_customers", "subquery_correlated",
-    "agg_percentiles", "sort_multikey",
+    # r5 rotation (VERDICT r4 next-round #3): changed code verifies
+    # FIRST, then every key whose newest driver signal is r1.
+    # -- group 1: r5-changed code (graph.py: dead-predicate fix,
+    #    barrier()/conf wiring, new PageRank edge build; dedup.py:
+    #    barrier()/conf wiring through contract_identical_sets /
+    #    prefix postings / band signatures) --
+    "graph_connected_components", "graph_cluster_keep_best",
+    "graph_pagerank_rounds",
+    "dedup_near_jaccard", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_edit_distance", "dedup_embedding_cosine",
+    # -- group 2: all 42 keys whose newest signal is r1 (the r4
+    #    verdict table's "pass (r1)" rows); dedup_exact_docs and
+    #    dedup_simhash (r3, trivially touched by the r5 wiring) are
+    #    covered by the local full-gate mirror + sf0.1 sweep receipts
+    #    instead — the two slots go to the older r1 signal. --
+    "scan_parquet", "scan_with_pushdown", "sample_hash_mod",
+    "sample_stratified", "sample_domain_cap",
+    "project_compute", "filter_compound", "filter_null_semantics",
+    "join_inner_equi", "join_left_outer", "join_right_outer",
+    "join_full_outer", "join_semi", "join_anti", "join_broadcast",
+    "join_theta", "join_null_safe", "join_range_interval",
+    "join_asof_forward", "join_multiway_star",
+    "agg_global", "agg_pricing_summary", "agg_distinct_count",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having",
+    "agg_corr_covar", "agg_listagg", "agg_conditional", "agg_max_by",
+    "agg_histogram_bins", "agg_bool_and_or", "agg_skew_kurtosis",
+    "agg_mode",
+    "window_rank_topn", "window_running_total",
+    "window_share_of_total", "window_lag_lead",
+    "window_ntile_percent", "window_first_last",
+    "limit_topk",
 ]
 
 
