@@ -54,6 +54,10 @@ HEADLINE = [
     "kmeans_lloyd_rounds",
     "graph_pagerank_rounds",
     "dedup_threshold_sweep",
+    # r5 addition: the deterministic IVF ANN path (quantized-Lloyd
+    # index build + probed cell join) — the retrieval-shaped plan the
+    # flat set lacked.
+    "sim_ivf_topk",
 ]
 
 

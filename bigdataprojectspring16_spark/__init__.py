@@ -52,8 +52,13 @@ _DRIVER_WINDOW_PRIORITY = [
     #    prefix postings / band signatures) --
     "graph_connected_components", "graph_cluster_keep_best",
     "graph_pagerank_rounds",
-    "dedup_near_jaccard", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_edit_distance", "dedup_embedding_cosine",
+    "dedup_near_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine",
+    # -- group 1b: NEW r5 keys (deterministic IVF pair) — never
+    #    driver-checked, so they take the two slots that would have
+    #    re-checked dedup_ngram_jaccard/dedup_edit_distance (both
+    #    r4-green; their r5 wiring change is covered by the local
+    #    full-gate mirror + the sf0.1 sweep receipts). --
+    "sim_ivf_topk", "sim_ivf_recall_audit",
     # -- group 2: all 42 keys whose newest signal is r1 (the r4
     #    verdict table's "pass (r1)" rows); dedup_exact_docs and
     #    dedup_simhash (r3, trivially touched by the r5 wiring) are

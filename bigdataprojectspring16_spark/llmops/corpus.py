@@ -806,8 +806,16 @@ def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    from ..plans.barriers import barrier
+
     for _ in range(2):
-        cents = update(assign(v, cents))
+        # Lazy barrier on the k×dim centroid frame (r5, the pagerank
+        # invariant-barrier lesson): without it round r re-derives
+        # rounds 1..r-1 (no cross-round CSE), growing corpus passes
+        # quadratically in rounds; with it, one pass per round + the
+        # final assignment — the Lloyd minimum. Values unchanged
+        # (the frame is already quantized at the round boundary).
+        cents = barrier(update(assign(v, cents)))
     final = assign(v, cents)
     return final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"),

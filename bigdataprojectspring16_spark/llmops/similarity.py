@@ -529,3 +529,296 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("label", "assigned").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --- deterministic IVF (r5): the IVF scale path as oracle-checked keys
+
+
+def _ivf_cells(v: DataFrame, k: int = 8, rounds: int = 2):
+    """Deterministic IVF coarse quantizer: ``rounds`` quantized Lloyd
+    rounds from a deterministic seed (the k lowest vec_ids), then the
+    final cell assignment — the ``kmeans_lloyd_rounds`` discipline
+    (corpus.py): per-round centroid means are QUANTIZED to 6 decimals
+    so the distributed execution is hash-identical to a serial
+    oracle, making the whole IVF index exactly checkable (unlike
+    MLlib ``KMeans``, whose centers are seed-dependent —
+    :func:`ivf_ann_topk` keeps that engine-native variant).
+
+    Returns ``(assigned, cents)``: every vector with its cell id
+    (vec_id, e, cid) and the k×dim centroid frame (cid, c). Each
+    round is a broadcast of the tiny centroid frame against a narrow
+    corpus scan (at 100 TB: k·dim doubles broadcast, one pass per
+    round) + one (cid, pos)-keyed mean; no driver loop — the rounds
+    unroll into ONE lazy plan.
+    """
+    from pyspark.sql import Window
+
+    cents = v.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with("e", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            v.crossJoin(F.broadcast(c))
+            .withColumn("dist", dist)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "e", "cid")
+        )
+
+    from ..plans.barriers import barrier
+
+    for _ in range(rounds):
+        cents = (
+            assign(cents)
+            .select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mu"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s.mu,
+                ).alias("c")
+            )
+        )
+        # Lazy barrier on the k×dim centroid frame: round r's input
+        # otherwise re-derives rounds 1..r-1 (no cross-round CSE in
+        # Catalyst — the pagerank MATERIALIZE_INVARIANTS lesson), so
+        # corpus passes would grow quadratically in the round count.
+        # The frame is tiny (k rows) but its lineage CONTAINS a full
+        # corpus aggregate — exactly the SCALING.md barrier rule.
+        # With the barrier: one corpus pass per round + one final
+        # assignment pass, the Lloyd minimum.
+        cents = barrier(cents)
+    return assign(cents), cents
+
+
+def _ivf_round_sql(r: int) -> str:
+    """One quantized Lloyd round as DuckDB CTEs over ``v``/``c{r-1}``
+    (the corpus.py kmeans skeleton, k-agnostic)."""
+    return f"""
+    d{r} AS (
+        SELECT v.vec_id, v.e, c.cid,
+               list_sum(list_transform(generate_series(1, len(v.e)),
+                   i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS dist
+        FROM v CROSS JOIN c{r - 1} c
+    ),
+    a{r} AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rk
+            FROM d{r}
+        ) WHERE rk = 1
+    ),
+    m{r} AS (
+        SELECT cid, u.i AS dim, round(avg(e[u.i]), 6) AS mu
+        FROM a{r}, unnest(generate_series(1, len(e))) AS u(i)
+        GROUP BY cid, u.i
+    ),
+    c{r} AS (
+        SELECT cid, list(mu ORDER BY dim) AS c FROM m{r} GROUP BY cid
+    )"""
+
+
+#: Shared oracle prefix: deterministic 8-cell IVF index + the probed
+#: candidate set for the vec_id % 50 = 0 query subset (2 cells each).
+_IVF_INDEX_SQL = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 8
+    ),{_ivf_round_sql(1)},{_ivf_round_sql(2)},
+    dfin AS (
+        SELECT v.vec_id, v.e, c.cid,
+               list_sum(list_transform(generate_series(1, len(v.e)),
+                   i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS dist
+        FROM v CROSS JOIN c2 c
+    ),
+    cells AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rk
+            FROM dfin
+        ) WHERE rk = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0
+    ),
+    qd AS (
+        SELECT q.query_id, q.qe, c.cid,
+               list_sum(list_transform(generate_series(1, len(q.qe)),
+                   i -> (q.qe[i] - c.c[i]) * (q.qe[i] - c.c[i]))) AS dist
+        FROM q CROSS JOIN c2 c
+    ),
+    qc AS (
+        SELECT query_id, qe, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, cid) AS crk
+            FROM qd
+        ) WHERE crk <= 2
+    ),
+    ivf_cand AS (
+        SELECT qc.query_id, cells.vec_id AS neighbor_id,
+               round(list_dot_product(qc.qe, cells.e), 6) AS cosine
+        FROM qc JOIN cells ON qc.cid = cells.cid
+        WHERE cells.vec_id <> qc.query_id
+    ),
+    ivf_topk AS (
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM ivf_cand
+        ) WHERE rk <= 3
+    )"""
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=_IVF_INDEX_SQL
+    + """
+    SELECT query_id, neighbor_id, cosine FROM ivf_topk
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-3 neighbors for the
+    deterministic query subset (vec_id % 50 = 0), with a fully
+    DETERMINISTIC coarse quantizer — the IVF scale path as an
+    oracle-checked registry key.
+
+    Index build: 8 Voronoi cells from 2 quantized Lloyd rounds
+    (:func:`_ivf_cells`); every corpus vector is assigned its cell id
+    — at 100 TB that cell id is the PARTITION KEY, so the corpus is
+    written bucketed by cell and a probe touches n_probe/n_cells of
+    the data (here 2/8), never the full scan of the brute-force
+    baseline (``sim_knn_cosine``). Probing: each query ranks cells by
+    centroid distance (a k×dim broadcast), scores only its 2 nearest
+    cells' members via a cell-keyed equi-join, and exact cosine
+    re-ranks with the (cosine DESC, vec_id) total order on 6-decimal
+    rounded values. Recall against brute force is itself an
+    oracle-checked key (``sim_ivf_recall_audit``).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assigned, cents = _ivf_cells(v)
+    q = v.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    qdist = F.aggregate(
+        F.zip_with("qe", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cid")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("dist", qdist)
+        .withColumn("crk", F.row_number().over(wq))
+        .where(F.col("crk") <= 2)
+        .select("query_id", "qe", "cid")
+    )
+    cand = probed.join(assigned, "cid").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+@query(
+    "sim_ivf_recall_audit",
+    oracle=_IVF_INDEX_SQL
+    + """,
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(q.qe, v.e), 6)
+                                    DESC,
+                                v.vec_id) AS rk
+            FROM q JOIN v ON v.vec_id <> q.query_id
+        ) WHERE rk <= 3
+    )
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(i.neighbor_id) / 3.0, 6) AS recall_at_3
+    FROM brute b
+    LEFT JOIN ivf_topk i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the deterministic IVF index against brute force,
+    per query — the production QA number every ANN deployment ships
+    with (an index whose recall silently decays is how a dedup or
+    retrieval pipeline rots).
+
+    Brute force: the tiny query frame broadcast against ONE corpus
+    pass (the ``sim_knn_cosine`` shape) + per-query top-3 under the
+    same (rounded cosine DESC, vec_id) total order as the IVF side.
+    Recall joins the two top-3 sets on (query_id, neighbor_id) — a
+    keyed equi-join on 3·|queries| rows. Both the index and the
+    audit are exact DataFrame plans, so the driver hash-checks the
+    recall NUMBER itself — not just that some recall was computed.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = v.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    brute = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = sim_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hits = brute.join(
+        ivf,
+        (brute["query_id"] == ivf["query_id"])
+        & (brute["neighbor_id"] == ivf["ivf_neighbor"]),
+        "left",
+    ).select(brute["query_id"], "ivf_neighbor")
+    return hits.groupBy("query_id").agg(
+        F.count("ivf_neighbor").alias("n_hits"),
+        F.round(F.count("ivf_neighbor") / 3.0, 6).alias("recall_at_3"),
+    )

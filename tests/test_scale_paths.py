@@ -236,3 +236,43 @@ def test_domain_cap_two_level_equals_single_level(spark):
         .collect()
     }
     assert two_level == single_level
+
+
+def test_deterministic_ivf_recall_audit_floor_and_range(spark):
+    """The oracle-checked IVF pair (r5): recall_at_3 values must be
+    valid probabilities and the MEAN recall must clear a floor —
+    2-of-8 probed cells on near-random unit vectors should still
+    find a usable share of true top-3 neighbors; a broken cell join
+    (empty candidates) would score 0.0 everywhere."""
+    rows = similarity.sim_ivf_recall_audit(spark, SF_DIR).collect()
+    assert rows, "no query rows"
+    assert all(0.0 <= r.recall_at_3 <= 1.0 for r in rows)
+    assert all(r.n_hits == round(r.recall_at_3 * 3) for r in rows)
+    mean = sum(r.recall_at_3 for r in rows) / len(rows)
+    assert mean >= 0.3, f"mean recall {mean:.3f} below floor"
+
+
+def test_deterministic_ivf_topk_partition_invariance(spark):
+    """The quantized-Lloyd index (and therefore the top-3 sets) must
+    not depend on physical layout — the same guarantee the
+    kmeans_lloyd_rounds discipline gives: quantized round boundaries
+    re-synchronize float aggregation across any partitioning."""
+    base = sorted(
+        tuple(r) for r in similarity.sim_ivf_topk(spark, SF_DIR).collect()
+    )
+    e = load_table(spark, SF_DIR, "embeddings").repartition(17)
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assigned, _ = similarity._ivf_cells(v)
+    base_cells = sorted(
+        (r.vec_id, r.cid)
+        for r in similarity._ivf_cells(
+            load_table(spark, SF_DIR, "embeddings").select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+        )[0].collect()
+    )
+    alt_cells = sorted((r.vec_id, r.cid) for r in assigned.collect())
+    assert base_cells == alt_cells
+    assert base  # non-empty top-3 output
