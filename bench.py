@@ -69,10 +69,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     job_counts: dict[str, int] = {}
+    jobs_unstable: dict[str, list[int]] = {}
     for key in HEADLINE:
         fn = QUERIES[key]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warmup
         best = float("inf")
+        run_jobs: list[int] = []
         for i in range(RUNS):
             # Per-run job group: the Spark job COUNT of a run is a
             # deterministic property of the plan (unlike wall time),
@@ -83,9 +85,17 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-            job_counts[key] = len(
-                spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+            run_jobs.append(
+                len(
+                    spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+                )
             )
+        job_counts[key] = run_jobs[-1]
+        # A count FLAP between same-plan runs is itself the signal the
+        # field exists to catch (an AQE decision or round count moved
+        # mid-bench) — surface it instead of silently keeping run N.
+        if len(set(run_jobs)) > 1:
+            jobs_unstable[key] = run_jobs
         timings[key] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
@@ -103,6 +113,7 @@ def main() -> None:
                 "original12_sec": original12,
                 "queries": timings,
                 "jobs": job_counts,
+                "jobs_unstable": jobs_unstable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

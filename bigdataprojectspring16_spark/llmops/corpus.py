@@ -743,6 +743,69 @@ _KMEANS_ORACLE = f"""
 """
 
 
+def quantized_lloyd(
+    v: DataFrame, k: int, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """The shared quantized-Lloyd discipline (single source of truth —
+    used by ``kmeans_lloyd_rounds`` here and the deterministic IVF
+    keys in similarity.py): deterministic seeding (the k lowest
+    vec_ids), each round's rebuilt centroids QUANTIZED to 6 decimals
+    before the next assignment, argmin under the (dist, cid) total
+    order — which together make the distributed execution
+    hash-identical to a serial SQL oracle (`_kmeans_round_sql` is the
+    matching one-round oracle skeleton).
+
+    ``v`` must carry (vec_id, e: array<double>). Returns
+    ``(assigned, cents)``: the FINAL assignment (vec_id, e, cid,
+    dist) after ``rounds`` update rounds, and the k×dim centroid
+    frame (cid, c). Each round broadcasts the tiny centroid frame
+    against one narrow corpus pass; the per-round lazy barrier on the
+    k-row centroid frame keeps total corpus passes at rounds + 1 (the
+    Lloyd minimum) instead of quadratic-in-rounds re-derivation
+    (no cross-round CSE in Catalyst — the pagerank invariant-barrier
+    lesson, SCALING.md)."""
+    from pyspark.sql import Window
+
+    from ..plans.barriers import barrier
+
+    cents = v.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with("e", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            v.crossJoin(F.broadcast(c))
+            .withColumn("dist", dist)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "e", "cid", "dist")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mu"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda s: s.mu,
+                ).alias("c")
+            )
+        )
+
+    for _ in range(rounds):
+        cents = barrier(update(assign(cents)))
+    return assign(cents), cents
+
+
 @query("kmeans_lloyd_rounds", oracle=_KMEANS_ORACLE)
 def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (k=4), TWO unrolled rounds plus a
@@ -764,59 +827,11 @@ def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     action between rounds; at real scale the rounds chain through
     AQE like any other multi-stage plan.
     """
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cents = v.orderBy("vec_id").limit(4).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
-    )
-
-    dist = F.aggregate(
-        F.zip_with("e", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-    def assign(vecs: DataFrame, c: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            vecs.crossJoin(F.broadcast(c))
-            .withColumn("dist", dist)
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("vec_id", "e", "cid", "dist")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        return (
-            assigned.select(
-                "cid", F.posexplode("e").alias("pos", "val")
-            )
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("mu"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
-                    lambda s: s.mu,
-                ).alias("c")
-            )
-        )
-
-    from ..plans.barriers import barrier
-
-    for _ in range(2):
-        # Lazy barrier on the k×dim centroid frame (r5, the pagerank
-        # invariant-barrier lesson): without it round r re-derives
-        # rounds 1..r-1 (no cross-round CSE), growing corpus passes
-        # quadratically in rounds; with it, one pass per round + the
-        # final assignment — the Lloyd minimum. Values unchanged
-        # (the frame is already quantized at the round boundary).
-        cents = barrier(update(assign(v, cents)))
-    final = assign(v, cents)
+    final, _ = quantized_lloyd(v, k=4, rounds=2)
     return final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.sum("dist"), 6).alias("inertia"),

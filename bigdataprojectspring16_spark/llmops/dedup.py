@@ -40,8 +40,11 @@ from ..tables import load_table
 #: RELIABLE materialization for localCheckpoint: executor-local
 #: checkpoint blocks are unreplicated and the truncated lineage makes
 #: them unrecoverable on executor loss, fine on local[n], fatal on a
-#: preemptible cluster (use persist(MEMORY_AND_DISK_2) or a
-#: checkpoint() to durable storage there).
+#: preemptible cluster — set
+#: spark.bigdataprojectspring16.barrierMode=durable there (reliable
+#: checkpoint(); see plans/barriers.py — a persist(MEMORY_AND_DISK_2)
+#: substitute was measured and REJECTED r5: persist keeps lineage and
+#: multi-reference fixpoint plans grow exponentially).
 MATERIALIZE_SHARED = False
 MATERIALIZE_SHARED_CONF = "spark.bigdataprojectspring16.materializeShared"
 

@@ -474,6 +474,11 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy = (
         spark.conf.get(PAGERANK_EDGE_BUILD_CONF, None) or PAGERANK_EDGE_BUILD
     )
+    if strategy not in ("group", "selfjoin"):
+        raise ValueError(
+            f"{PAGERANK_EDGE_BUILD_CONF}={strategy!r}: "
+            "expected 'group' or 'selfjoin'"
+        )
     # The edge set, degrees, and node set are loop-INVARIANT but appear
     # in every unrolled round, and Catalyst performs no cross-round
     # common-subexpression elimination: without a materialization

@@ -536,106 +536,35 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_cells(v: DataFrame, k: int = 8, rounds: int = 2):
     """Deterministic IVF coarse quantizer: ``rounds`` quantized Lloyd
-    rounds from a deterministic seed (the k lowest vec_ids), then the
-    final cell assignment — the ``kmeans_lloyd_rounds`` discipline
-    (corpus.py): per-round centroid means are QUANTIZED to 6 decimals
-    so the distributed execution is hash-identical to a serial
-    oracle, making the whole IVF index exactly checkable (unlike
-    MLlib ``KMeans``, whose centers are seed-dependent —
-    :func:`ivf_ann_topk` keeps that engine-native variant).
+    rounds from a deterministic seed, then the final cell assignment —
+    delegated to the single shared implementation of the discipline,
+    :func:`..llmops.corpus.quantized_lloyd` (one source of truth for
+    seeding, 6-decimal round-boundary quantization, and the
+    (dist, cid) argmin order — the properties that make the whole IVF
+    index exactly oracle-checkable, unlike MLlib ``KMeans``'s
+    seed-dependent centers, which :func:`ivf_ann_topk` keeps as the
+    engine-native variant).
 
     Returns ``(assigned, cents)``: every vector with its cell id
-    (vec_id, e, cid) and the k×dim centroid frame (cid, c). Each
-    round is a broadcast of the tiny centroid frame against a narrow
-    corpus scan (at 100 TB: k·dim doubles broadcast, one pass per
-    round) + one (cid, pos)-keyed mean; no driver loop — the rounds
-    unroll into ONE lazy plan.
+    (vec_id, e, cid) and the k×dim centroid frame (cid, c).
     """
-    from pyspark.sql import Window
+    from .corpus import quantized_lloyd
 
-    cents = v.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
-    )
-    dist = F.aggregate(
-        F.zip_with("e", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-    def assign(c: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            v.crossJoin(F.broadcast(c))
-            .withColumn("dist", dist)
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("vec_id", "e", "cid")
-        )
-
-    from ..plans.barriers import barrier
-
-    for _ in range(rounds):
-        cents = (
-            assign(cents)
-            .select("cid", F.posexplode("e").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("mu"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
-                    lambda s: s.mu,
-                ).alias("c")
-            )
-        )
-        # Lazy barrier on the k×dim centroid frame: round r's input
-        # otherwise re-derives rounds 1..r-1 (no cross-round CSE in
-        # Catalyst — the pagerank MATERIALIZE_INVARIANTS lesson), so
-        # corpus passes would grow quadratically in the round count.
-        # The frame is tiny (k rows) but its lineage CONTAINS a full
-        # corpus aggregate — exactly the SCALING.md barrier rule.
-        # With the barrier: one corpus pass per round + one final
-        # assignment pass, the Lloyd minimum.
-        cents = barrier(cents)
-    return assign(cents), cents
-
-
-def _ivf_round_sql(r: int) -> str:
-    """One quantized Lloyd round as DuckDB CTEs over ``v``/``c{r-1}``
-    (the corpus.py kmeans skeleton, k-agnostic)."""
-    return f"""
-    d{r} AS (
-        SELECT v.vec_id, v.e, c.cid,
-               list_sum(list_transform(generate_series(1, len(v.e)),
-                   i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS dist
-        FROM v CROSS JOIN c{r - 1} c
-    ),
-    a{r} AS (
-        SELECT vec_id, e, cid FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, cid) AS rk
-            FROM d{r}
-        ) WHERE rk = 1
-    ),
-    m{r} AS (
-        SELECT cid, u.i AS dim, round(avg(e[u.i]), 6) AS mu
-        FROM a{r}, unnest(generate_series(1, len(e))) AS u(i)
-        GROUP BY cid, u.i
-    ),
-    c{r} AS (
-        SELECT cid, list(mu ORDER BY dim) AS c FROM m{r} GROUP BY cid
-    )"""
+    assigned, cents = quantized_lloyd(v, k=k, rounds=rounds)
+    return assigned.select("vec_id", "e", "cid"), cents
 
 
 #: Shared oracle prefix: deterministic 8-cell IVF index + the probed
 #: candidate set for the vec_id % 50 = 0 query subset (2 cells each).
+from .corpus import _kmeans_round_sql as _lloyd_round_sql
+
 _IVF_INDEX_SQL = f"""
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     c0 AS (
         SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 8
-    ),{_ivf_round_sql(1)},{_ivf_round_sql(2)},
+    ),{_lloyd_round_sql(1)},{_lloyd_round_sql(2)},
     dfin AS (
         SELECT v.vec_id, v.e, c.cid,
                list_sum(list_transform(generate_series(1, len(v.e)),

@@ -84,4 +84,9 @@ def conf_knob(spark: SparkSession, conf_key: str, module_default: bool) -> bool:
     v = spark.conf.get(conf_key, None)
     if v is None:
         return module_default
-    return str(v).strip().lower() in ("1", "true", "yes")
+    low = str(v).strip().lower()
+    if low in ("1", "true", "yes", "on"):
+        return True
+    if low in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(f"{conf_key}={v!r}: expected a boolean value")

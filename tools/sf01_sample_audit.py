@@ -66,8 +66,12 @@ for t in TABLES:
     if t in ("documents", "embeddings"):
         continue
     dst = f"{DST}/{t}.parquet"
-    if not os.path.exists(dst):
-        os.symlink(f"{SRC}/{t}.parquet", dst)
+    # Recreate on every run: a stale (or dangling) symlink from a
+    # previous run with a different SAMPLE_SRC would silently mix
+    # sources into the receipt.
+    if os.path.islink(dst) or os.path.exists(dst):
+        os.remove(dst)
+    os.symlink(f"{SRC}/{t}.parquet", dst)
 n_docs = con.sql(f"SELECT count(*) FROM '{DST}/documents.parquet'").fetchone()[0]
 n_vecs = con.sql(f"SELECT count(*) FROM '{DST}/embeddings.parquet'").fetchone()[0]
 print(
