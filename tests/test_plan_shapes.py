@@ -420,3 +420,22 @@ def test_multi_distinct_compiles_through_expand(spark):
     plan = _physical(QUERIES["agg_multi_distinct"](spark, SF_DIR))
     assert "Expand" in plan
     assert "Join" not in plan
+
+
+def test_ivf_topk_candidate_join_is_keyed_and_topk_pushed(spark):
+    """The IVF serving plan (r5): the only data-proportional join —
+    probed cells ⋈ assigned corpus on the cell id — must be a KEYED
+    join (SMJ/SHJ/BHJ), and the per-query top-3 must ride the
+    WindowGroupLimit pushdown. BroadcastNestedLoopJoin crosses are
+    sanctioned ONLY for the k-row centroid frame broadcasts (Lloyd
+    assignment + cell probing)."""
+    plan = _physical(QUERIES["sim_ivf_topk"](spark, SF_DIR))
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "WindowGroupLimit" in plan
+    # every nested-loop cross must be a broadcast of the tiny centroid
+    # frame (BuildRight of a k-row aggregate) — never corpus×corpus.
+    assert "CartesianProduct" not in plan
