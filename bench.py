@@ -60,6 +60,26 @@ HEADLINE = [
     "sim_ivf_topk",
 ]
 
+#: r5 addition: the TPC-H completion set (operators/tpch.py) — the 12
+#: queries that closed the full 22-query sweep. Benched as their own
+#: group with a separate subtotal so the pre-existing set anchors
+#: (original-12 / r2-16 / r3-19 / r4-22) stay comparable.
+TPCH_R5 = [
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_delta",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_delay_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_lead_promo_suppliers",
+]
+HEADLINE = HEADLINE + TPCH_R5
+
 
 def main() -> None:
     from bigdataprojectspring16_spark import QUERIES, get_session
@@ -104,6 +124,7 @@ def main() -> None:
     # Report the original-12 subtotal so cross-round totals stay
     # comparable against the right anchor.
     original12 = round(sum(timings[k] for k in HEADLINE[:12] if k in timings), 4)
+    tpch12 = round(sum(timings[k] for k in TPCH_R5 if k in timings), 4)
     print(
         json.dumps(
             {
@@ -111,6 +132,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "original12_sec": original12,
+                "tpch12_sec": tpch12,
                 "queries": timings,
                 "jobs": job_counts,
                 "jobs_unstable": jobs_unstable,

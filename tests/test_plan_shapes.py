@@ -439,3 +439,77 @@ def test_ivf_topk_candidate_join_is_keyed_and_topk_pushed(spark):
     # every nested-loop cross must be a broadcast of the tiny centroid
     # frame (BuildRight of a k-row aggregate) — never corpus×corpus.
     assert "CartesianProduct" not in plan
+
+
+# --- TPC-H completion set (operators/tpch.py, r5) ---
+
+_TPCH_R5 = [
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_ship_delay_priority",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_lead_promo_suppliers",
+]
+
+
+@pytest.mark.parametrize("name", _TPCH_R5)
+def test_tpch_r5_no_nested_loop_join(spark, name):
+    """None of the multi-join TPC-H completion queries may degrade to
+    a nested-loop or cartesian form — every join is keyed (the only
+    sanctioned BNLJ in the set is Q15's 1-row scalar-max broadcast,
+    asserted separately)."""
+    plan = _physical(QUERIES[name](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_q6_filters_reach_parquet_scan(spark):
+    """Q6 is the suite's scan-agg baseline: all three predicates
+    (shipdate range, discount band, quantity cap) must be pushed to
+    the reader, and the plan must contain no join or exchange beyond
+    the single partial-agg exchange."""
+    plan = _physical(QUERIES["tpch_q6_revenue_delta"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    assert "Join" not in plan
+
+
+def test_tpch_q10_is_take_ordered(spark):
+    plan = _physical(QUERIES["tpch_q10_returned_items"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # returnflag prefilter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_tpch_q15_scalar_max_is_one_row_broadcast(spark):
+    """Q15's scalar-subquery equality is the sanctioned 1-row
+    broadcast crossJoin (`subquery_scalar_agg` convention): exactly
+    one BroadcastNestedLoopJoin whose build side is a 1-row
+    aggregate, never a CartesianProduct."""
+    plan = _physical(QUERIES["tpch_q15_top_supplier"](spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_agg_keeps_full_key_parallelism(spark):
+    """The supply aggregation must shuffle on the FULL
+    (n_name, l_partkey) key — pre-partitioning the fact on n_name
+    alone would satisfy both the agg and the window with one
+    exchange but caps parallelism at |nations| partitions. The
+    cutoff window then re-shuffles only the contracted aggregate
+    onto n_name; neither side may degenerate to a single
+    partition."""
+    import re
+
+    plan = _physical(QUERIES["tpch_q11_important_stock"](spark, SF_DIR))
+    # agg exchange on the full composite key...
+    assert re.search(r"hashpartitioning\(n_name#\d+, l_partkey", plan)
+    # ...plus the window's post-agg exchange on n_name alone
+    assert re.search(r"hashpartitioning\(n_name#\d+, \d+\)", plan)
+    assert "Window" in plan and "SinglePartition" not in plan
