@@ -28,25 +28,102 @@ Scale notes common to the set: nation/region are fixed-size dims and
 always broadcast; customer/supplier/part are sf-proportional and join
 by key (shuffle hash / sort-merge under AQE); every sorted LIMIT is a
 total order (explicit tie-breaks) so Spark plans it as
-TakeOrderedAndProject — per-partition heaps, no global sort. Money
-aggregates round to 2 decimals on both the Spark and oracle sides
-before any comparison or ordering the driver hashes.
+TakeOrderedAndProject — per-partition heaps, no global sort.
+
+Money discipline (VERDICT r5 items 1/6 — the ``tpch_q10`` red):
+``round(sum(double), 2)`` after a float sum is one partition-order
+change away from flipping the last cent whenever the exact total
+lands on a half-cent boundary (q10 hit it: 307843.595 summed to
+...60 on Spark and ...59 in DuckDB). Every money aggregate here
+instead sums on the EXACT integer grid the fixture guarantees
+(prices/balances on cents, discounts on a 0.01 grid, quantities
+integral — verified by ``tests/test_oracle_parity.py`` fixtures):
+per-line values become exact 1e-4-dollar bigints
+(``cents(price) * (100 - pct(discount))``), the sum is an
+overflow-safe exact decimal(38,0) on Spark / HUGEINT in DuckDB, and
+the 2-dp display value is produced by a shared half-away-from-zero
+integer division both engines evaluate bit-identically
+(``_div_half_up`` / ``_div_half_up_sql``). Equality predicates on
+money (q15's max-revenue match) compare integer cents, never
+rounded doubles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
 
+# Exact sums cap at decimal(38,0) (Spark) / HUGEINT (DuckDB): a plain
+# BIGINT e4 accumulator wraps at ~9e14 dollars per group — reachable
+# for nation-level groups at the 100 TB target SF.
+_MONEY_DEC = "decimal(28,0)"
+
+
+def _cents(col: Column) -> Column:
+    """Exact integer cents from a 2-dp money double (fixture grid)."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def _pct(col: Column) -> Column:
+    """Exact integer percent from a 0.01-grid rate double."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def _rev_e4() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact 1e-4-dollar units."""
+    return _cents(F.col("l_extendedprice")) * (F.lit(100).cast("long") - _pct(F.col("l_discount")))
+
+
+def _sum_exact(e4_col: Column) -> Column:
+    """Order-independent exact money sum: decimal(38,0) accumulator."""
+    return F.sum(e4_col.cast(_MONEY_DEC))
+
+
+def _div_half_up(total_dec: Column, den: int) -> Column:
+    """round-half-away-from-zero(total / den) on exact integers.
+
+    ``(abs(t) + den//2) / den`` is decimal division (exact: Spark
+    keeps >=6 fractional digits for these precisions) and ``floor``
+    of it is the exact integer quotient — no double arithmetic
+    anywhere, so the result is bit-identical to the oracle's
+    ``(abs(t) + den//2) // den`` HUGEINT division. For odd ``den``
+    an exact half is impossible, so the half convention is moot.
+    """
+    sign = F.when(total_dec < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    return sign * F.floor((F.abs(total_dec) + F.lit(den // 2)) / F.lit(den))
+
+
+def _money2(total_e4: Column) -> Column:
+    """e4 exact total -> 2-dp dollars as double (half-up cents)."""
+    return _div_half_up(total_e4, 100).cast("double") / F.lit(100.0)
+
+
+_REV_E4_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _div_half_up_sql(total: str, den: int) -> str:
+    t = f"({total})"
+    return (
+        f"(CASE WHEN {t} < 0 THEN -1 ELSE 1 END)"
+        f" * ((abs({t}) + {den // 2}) // {den})"
+    )
+
+
+def _money2_sql(total_e4: str) -> str:
+    return f"CAST({_div_half_up_sql(total_e4, 100)} AS DOUBLE) / 100.0"
+
 
 @query(
     "tpch_q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {_money2_sql(f"sum({_REV_E4_SQL})")} AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -91,20 +168,18 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money2(_sum_exact(_rev_e4())).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
 
 @query(
     "tpch_q6_revenue_delta",
-    oracle="""
-    SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2)
-               AS revenue,
+    oracle=f"""
+    SELECT {_money2_sql(
+        "coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * CAST(round(l_discount * 100) AS BIGINT)), 0)"
+    )} AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -135,12 +210,11 @@ def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
+            _money2(
                 F.coalesce(
-                    F.sum(F.col("l_extendedprice") * F.col("l_discount")),
-                    F.lit(0.0),
-                ),
-                2,
+                    _sum_exact(_cents(F.col("l_extendedprice")) * _pct(F.col("l_discount"))),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -149,13 +223,13 @@ def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q7_volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           {_money2_sql("sum(volume_e4)")} AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               {_REV_E4_SQL} AS volume_e4
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders ON o_orderkey = l_orderkey
@@ -215,24 +289,21 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money2(_sum_exact(_rev_e4())).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 @query(
     "tpch_q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume
-                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_e4
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume_e4) AS DOUBLE), 6) AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               {_REV_E4_SQL} AS volume_e4,
                n2.n_name AS nation
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
@@ -280,7 +351,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
     )
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_e4 = _rev_e4()
     return (
         p.join(li, p.p_partkey == li.l_partkey)
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -292,10 +363,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(
-                    F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0)
-                )
-                / F.sum(vol),
+                _sum_exact(
+                    F.when(F.col("nation") == "NATION_3", vol_e4).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                / _sum_exact(vol_e4).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -305,13 +378,14 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q9_product_profit",
-    oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    oracle=f"""
+    SELECT nation, o_year, {_money2_sql("sum(amount_e4)")} AS sum_profit
     FROM (
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                   - 0.6 * p_retailprice * l_quantity AS amount
+               {_REV_E4_SQL}
+                   - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT) AS amount_e4
         FROM part
         JOIN lineitem ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -339,9 +413,11 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # 0.6 * retail * qty on the e4 grid: 60 * cents(retail) * qty —
+    # all-bigint per line, so partials sum exactly in any order
+    amount_e4 = _rev_e4() - F.lit(60).cast("long") * _cents(
+        F.col("p_retailprice")
+    ) * F.round(F.col("l_quantity"), 0).cast("long")
     return (
         p.join(li, p.p_partkey == li.l_partkey)
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -351,16 +427,16 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(_money2(_sum_exact(amount_e4)).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
 
 @query(
     "tpch_q10_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_money2_sql(f"sum({_REV_E4_SQL})")} AS revenue,
            round(c_acctbal, 2) AS c_acctbal, n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -397,11 +473,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money2(_sum_exact(_rev_e4())).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -419,20 +491,21 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH supply AS (
         SELECT n_name, l_partkey,
-               sum(l_extendedprice) AS value
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_c
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name, l_partkey
     )
     SELECT n_name, l_partkey AS p_partkey,
-           round(value, 2) AS supply_value
+           CAST(value_c AS DOUBLE) / 100.0 AS supply_value
     FROM (
-        SELECT n_name, l_partkey, value,
-               avg(value) OVER (PARTITION BY n_name) AS nat_avg
+        SELECT n_name, l_partkey, value_c,
+               sum(value_c) OVER (PARTITION BY n_name) AS tot_c,
+               count(*) OVER (PARTITION BY n_name) AS n_parts
         FROM supply
     ) t
-    WHERE round(value, 6) > round(2.0 * nat_avg, 6)
+    WHERE n_parts * value_c > 2 * tot_c
     ORDER BY n_name, supply_value DESC, p_partkey
     """,
 )
@@ -450,9 +523,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the fact) onto n_name alone. Deliberately two exchanges:
     collapsing to one by pre-partitioning the fact on n_name would
     cap parallelism at 25 nation partitions — the skew-correct plan
-    pays the tiny post-agg shuffle instead. Both sides of the
-    threshold comparison are quantized to 6 decimals so the boundary
-    is identical across engines.
+    pays the tiny post-agg shuffle instead. The "value > 2 x nation
+    average" cutoff is evaluated as the exact integer
+    cross-multiplication ``n_parts * value_c > 2 * tot_c`` (count x
+    cents vs summed cents) — no float average anywhere, so the
+    boundary cannot drift between engines or partition orders.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -461,16 +536,17 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "l_partkey")
-        .agg(F.sum("l_extendedprice").alias("value"))
+        .agg(_sum_exact(_cents(F.col("l_extendedprice"))).alias("value_c"))
     )
     w = Window.partitionBy("n_name")
     return (
-        supply.withColumn("nat_avg", F.avg("value").over(w))
-        .where(F.round(F.col("value"), 6) > F.round(2.0 * F.col("nat_avg"), 6))
+        supply.withColumn("tot_c", F.sum("value_c").over(w))
+        .withColumn("n_parts", F.count(F.lit(1)).over(w))
+        .where(F.col("n_parts") * F.col("value_c") > 2 * F.col("tot_c"))
         .select(
             "n_name",
             F.col("l_partkey").alias("p_partkey"),
-            F.round("value", 2).alias("supply_value"),
+            (F.col("value_c").cast("double") / F.lit(100.0)).alias("supply_value"),
         )
         .orderBy("n_name", F.col("supply_value").desc(), "p_partkey")
     )
@@ -547,20 +623,20 @@ def tpch_q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q15_top_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
         SELECT l_suppkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
-                   AS total_revenue
+               {_div_half_up_sql(f"sum({_REV_E4_SQL})", 100)} AS rev_cents
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS total_revenue
     FROM supplier
     JOIN revenue ON s_suppkey = l_suppkey
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE rev_cents = (SELECT max(rev_cents) FROM revenue)
     ORDER BY s_suppkey
     """,
 )
@@ -571,10 +647,14 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-supplier revenue frame (the `subquery_scalar_agg`
     convention), then the supplier dim joins by key.
 
-    Revenue is rounded to the money grid BEFORE the max/equality on
-    both engines, so the equality compares identical quantized
-    doubles; ties (multiple suppliers at the max) are all returned,
-    per spec.
+    The max/equality compares INTEGER half-up cents (``rev_cents``,
+    exact decimal / HUGEINT on the two engines) — never rounded
+    doubles, which sit one partition-order change from a boundary
+    flip (VERDICT r5 item 6); ties (multiple suppliers at the max)
+    are all returned, per spec. The display double derives from the
+    same exact cents. Catalyst rewrites the crossJoin + cents
+    equality into a 1-row BroadcastHashJoin (guarded in
+    test_plan_shapes).
     """
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -582,29 +662,34 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        _div_half_up(_sum_exact(_rev_e4()), 100).alias("rev_cents")
     )
-    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = revenue.agg(F.max("rev_cents").alias("max_cents"))
     return (
         revenue.crossJoin(F.broadcast(top))
-        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .where(F.col("rev_cents") == F.col("max_cents"))
         .join(s, F.col("l_suppkey") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents").cast("double") / F.lit(100.0)).alias(
+                "total_revenue"
+            ),
+        )
         .orderBy("s_suppkey")
     )
 
 
 @query(
     "tpch_q17_small_qty_revenue",
-    oracle="""
+    oracle=f"""
     WITH part_avg AS (
         SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(coalesce(sum(l_extendedprice), 0) / 7.0, 2)
-               AS avg_yearly,
+    SELECT CAST({_div_half_up_sql(
+        "coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)", 7
+    )} AS DOUBLE) / 100.0 AS avg_yearly,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -638,8 +723,15 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part_avg, li.l_partkey == F.col("pa_partkey"))
         .where(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
-            F.round(
-                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
+            (
+                _div_half_up(
+                    F.coalesce(
+                        _sum_exact(_cents(F.col("l_extendedprice"))),
+                        F.lit(0).cast("decimal(38,0)"),
+                    ),
+                    7,
+                ).cast("double")
+                / F.lit(100.0)
             ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -648,9 +740,8 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q19_disjunctive_revenue",
-    oracle="""
-    SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2)
-               AS revenue,
+    oracle=f"""
+    SELECT {_money2_sql(f"coalesce(sum({_REV_E4_SQL}), 0)")} AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -692,12 +783,8 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return joined.where(b1 | b2 | b3).agg(
-        F.round(
-            F.coalesce(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                F.lit(0.0),
-            ),
-            2,
+        _money2(
+            F.coalesce(_sum_exact(_rev_e4()), F.lit(0).cast("decimal(38,0)"))
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )

@@ -488,13 +488,18 @@ def test_tpch_q10_is_take_ordered(spark):
 
 
 def test_tpch_q15_scalar_max_is_one_row_broadcast(spark):
-    """Q15's scalar-subquery equality is the sanctioned 1-row
-    broadcast crossJoin (`subquery_scalar_agg` convention): exactly
-    one BroadcastNestedLoopJoin whose build side is a 1-row
-    aggregate, never a CartesianProduct."""
+    """Q15's scalar-subquery equality: Catalyst pushes the
+    ``rev_cents == max_cents`` equality INTO the crossJoin and plans
+    a BroadcastHashJoin keyed on the cents (the r5 guard expected a
+    BroadcastNestedLoopJoin — wrong shape for crossJoin + equi-pred,
+    VERDICT r5 item 2). The 1-row max aggregate and the supplier dim
+    both broadcast; there must be no nested-loop join, cartesian
+    product, or sort-merge join anywhere."""
     plan = _physical(QUERIES["tpch_q15_top_supplier"](spark, SF_DIR))
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_tpch_q11_agg_keeps_full_key_parallelism(spark):

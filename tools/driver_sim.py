@@ -10,21 +10,26 @@ normalizer was blind to. The oracle side is now fetched via `.arrow()`
 (HUGEINT -> decimal128, int64 stays int64, NULLs stay NULL) and every
 value is hashed with a TYPE TAG, so an int64 `6` and a decimal128 `6`
 hash differently — exactly the sensitivity the real driver showed.
-Floats keep the tolerant `%.6g` rendering (both engines emit float64
-for the same expressions; only aggregation-order jitter differs).
+
+Floats render at DRIVER GRADE (VERDICT.md r5 item 4): `round(v, 9)`
+then `repr`, the same discipline as tests/conftest.py. The old
+tolerant `%.6g` provably masked the r5 driver red — q10's
+307843.60-vs-307843.59 cent flip renders identically at 6 significant
+digits — so a key could receipt green here and fail the real driver.
+A receipt from this tool is only evidence if its comparator is at
+least as strict as the driver's; `tests/test_driver_sim_comparator.py`
+pins the q10 pair as a regression.
 """
-import datetime
 import os
-import decimal
-import hashlib
-import math
 import sys
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb
 import __spark_entry__ as mod
 
+from comparator import first_diff, norm, value_hash  # noqa: F401
 from bigdataprojectspring16_spark import get_session
 
 SF_DIR = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
@@ -45,53 +50,6 @@ for t in TABLES:
 
 queries = mod.queries()
 oracles = mod.oracle_sql()
-
-
-def norm(v):
-    """Type-tagged canonical rendering. bool before int (bool is an
-    int subclass); Decimal tagged distinctly from int so a HUGEINT
-    oracle column can never silently match a Spark BIGINT."""
-    if v is None:
-        return "\x00"
-    if isinstance(v, bool):
-        return "b:" + str(v)
-    if isinstance(v, int):
-        return f"i:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "f:NaN"  # distinct from None's "\x00" — NaN != NULL
-        return f"f:{v:.6g}"
-    if isinstance(v, decimal.Decimal):
-        return "d:" + str(v)
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}={norm(x)}" for k, x in sorted(v.items())) + "}"
-    if isinstance(v, datetime.datetime):
-        return "t:" + v.isoformat()
-    if isinstance(v, datetime.date):
-        return "D:" + v.isoformat()
-    if isinstance(v, (bytes, bytearray)):
-        return "x:" + bytes(v).hex()
-    return "s:" + str(v)
-
-
-def value_hash(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
-    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
-
-
-def first_diff(srows, scols, orows, ocols):
-    """Best-effort pointer at the first differing canonical line."""
-    so = sorted(range(len(scols)), key=lambda i: scols[i])
-    oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
-    slines = sorted("|".join(norm(r[i]) for i in so) for r in srows)
-    olines = sorted("|".join(norm(r[i]) for i in oo) for r in orows)
-    for a, b in zip(slines, olines):
-        if a != b:
-            return f"spark={a!r} oracle={b!r}"
-    return f"lengths {len(slines)} vs {len(olines)}"
 
 
 only = set(sys.argv[1:])
