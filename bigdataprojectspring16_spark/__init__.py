@@ -45,48 +45,43 @@ from .operators import tpch  # noqa: F401
 #   4. 11 refresh slots for keys last checked in r1, spread across
 #      modules, so the oldest hard signal keeps rotating forward.
 _DRIVER_WINDOW_PRIORITY = [
-    # r5 rotation (VERDICT r4 next-round #3): changed code verifies
-    # FIRST, then every key whose newest driver signal is r1.
-    # -- group 1: r5-changed code (graph.py: dead-predicate fix,
-    #    barrier()/conf wiring, new PageRank edge build; dedup.py:
-    #    barrier()/conf wiring through contract_identical_sets /
-    #    prefix postings / band signatures) --
-    "graph_connected_components", "graph_cluster_keep_best",
-    "graph_pagerank_rounds",
-    "dedup_near_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine",
-    # -- group 1b: NEW r5 keys (deterministic IVF pair) — never
-    #    driver-checked, so they take the two slots that would have
-    #    re-checked dedup_ngram_jaccard/dedup_edit_distance (both
-    #    r4-green; their r5 wiring change is covered by the local
-    #    full-gate mirror + the sf0.1 sweep receipts). --
-    "sim_ivf_topk", "sim_ivf_recall_audit",
-    # -- group 1c: NEW r5 keys (TPC-H completion set, operators/
-    #    tpch.py) — never driver-checked, so they outrank r1-signal
-    #    refreshes (a key with ZERO driver history is the bigger gap;
-    #    the displaced r1 keys keep their r1 driver green plus this
-    #    round's local full-gate mirror + sf0.1 sweep receipts). --
-    "tpch_q5_local_supplier_volume", "tpch_q6_revenue_delta",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "tpch_q11_important_stock", "tpch_q12_ship_delay_priority",
-    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue", "tpch_q20_lead_promo_suppliers",
-    # -- group 2: 30 of the 42 keys whose newest signal is r1 (the r4
-    #    verdict table's "pass (r1)" rows); dedup_exact_docs and
-    #    dedup_simhash (r3, trivially touched by the r5 wiring) are
-    #    covered by the local full-gate mirror + sf0.1 sweep receipts
-    #    instead, as are the 12 r1 keys displaced by group 1c (the
-    #    window/limit/simple-agg family — next in line for r6). --
-    "scan_parquet", "scan_with_pushdown", "sample_hash_mod",
-    "sample_stratified", "sample_domain_cap",
-    "project_compute", "filter_compound", "filter_null_semantics",
-    "join_inner_equi", "join_left_outer", "join_right_outer",
-    "join_full_outer", "join_semi", "join_anti", "join_broadcast",
-    "join_theta", "join_null_safe", "join_range_interval",
-    "join_asof_forward", "join_multiway_star",
-    "agg_global", "agg_pricing_summary", "agg_distinct_count",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_having",
-    "agg_corr_covar", "agg_listagg", "agg_conditional",
+    # r6 rotation (VERDICT r5 next-round #4): changed code verifies
+    # FIRST, then the oldest driver signals.
+    # -- group 1: r6-changed code (operators/tpch.py money-grid
+    #    rework, VERDICT r5 items 1/6: exact integer-cents sums, the
+    #    q10 red fix, q15 cents equality, q11 integer cutoff) --
+    "tpch_q10_returned_items", "tpch_q15_top_supplier",
+    "tpch_q11_important_stock", "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_delta", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive_revenue",
+    # unchanged this round but same r5 batch, kept with the family
+    "tpch_q12_ship_delay_priority", "tpch_q20_lead_promo_suppliers",
+    # r6-changed: money-grid / quantize-then-sum migrations from the
+    #   SCALING.md float-sum-boundary audit (comparison sites and the
+    #   round-below-summand-grid display sums)
+    "clean_outlier_zscore", "agg_pricing_summary", "join_multiway_star",
+    "clean_winsorize", "scalar_math", "events_decayed_user_value",
+    # -- group 2: the 13 keys whose newest driver signal is r1
+    #    (VERDICT r5 missing #3) --
+    "agg_approx_distinct", "agg_bool_and_or", "agg_histogram_bins",
+    "agg_max_by", "agg_mode", "agg_skew_kurtosis", "limit_topk",
+    "window_first_last", "window_lag_lead", "window_ntile_percent",
+    "window_rank_topn", "window_running_total", "window_share_of_total",
+    # -- group 3: 25 of the 45 r2-signal keys — streaming first
+    #    (stream_watermark_late / stream_dedup_watermark last showed
+    #    as r2 rows-only FAILs before they were sanctioned), then the
+    #    analytics composites and the UDF surface. The 20 remaining
+    #    r2 keys (scalar/setop family, every one sf0.1-receipt-green
+    #    each round) rotate in next round. --
+    "stream_watermark_late", "stream_dedup_watermark", "stream_session",
+    "stream_sliding", "stream_tumbling", "stream_stateful_counter",
+    "custdist_two_level_agg", "events_anomaly_mad",
+    "events_dau_stickiness", "events_funnel",
+    "events_transition_matrix", "orders_abc_by_segment",
+    "orders_rfm_segments", "orders_yoy_growth", "retention_cohorts",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt", "tpch_q18_large_orders", "tpch_q3_topk",
 ]
 
 

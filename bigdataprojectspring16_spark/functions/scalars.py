@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .money import sum_exact as _sum_exact_int
 from ..registry import query
 from ..tables import load_table
 
@@ -115,7 +116,12 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         l_returnflag,
-        round(sum(sqrt(l_extendedprice)), 4) AS sum_sqrt_price,
+        -- floor-quantize-then-sum: floor(x*1e6) of identical doubles is
+        -- engine-exact (no round-half semantics), so the sum is exact
+        -- integer arithmetic in any order; a raw float sum of sqrt()
+        -- drifts ~1e-5 at sf0.1 against a 5e-5 rounding boundary
+        round(CAST(sum(CAST(floor(sqrt(l_extendedprice) * 1000000) AS BIGINT))
+                   AS DOUBLE) / 1000000.0, 4) AS sum_sqrt_price,
         round(avg(ln(l_extendedprice)), 6) AS avg_ln_price,
         round(avg(log10(l_extendedprice)), 6) AS avg_log10_price,
         round(sum(CAST(ceil(l_quantity) AS DOUBLE)), 1) AS sum_ceil_qty,
@@ -133,7 +139,13 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """round/abs/ceil/floor/sqrt/pow/ln/log10/sign/pmod over prices."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.sqrt("l_extendedprice")), 4).alias("sum_sqrt_price"),
+        F.round(
+            _sum_exact_int(
+                F.floor(F.sqrt("l_extendedprice") * 1000000)
+            ).cast("double")
+            / 1000000.0,
+            4,
+        ).alias("sum_sqrt_price"),
         F.round(F.avg(F.log("l_extendedprice")), 6).alias("avg_ln_price"),
         F.round(F.avg(F.log10("l_extendedprice")), 6).alias("avg_log10_price"),
         F.round(F.sum(F.ceil("l_quantity").cast("double")), 1).alias(

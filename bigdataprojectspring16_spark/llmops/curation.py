@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..registry import query
 from ..tables import load_table
 
@@ -202,18 +203,36 @@ def clean_impute_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clean_outlier_zscore",
     oracle="""
     WITH stats AS (
+        -- exact integer moment sums (money-grid discipline): mu and
+        -- sigma derive from cents / cents^2 totals that are exact in
+        -- any accumulation order, so the 2.5-sigma fence is the SAME
+        -- double on both engines; a float avg/stddev pair can drift
+        -- with partition order and flip boundary rows
         SELECT o_orderpriority,
-               avg(o_totalprice) AS mu,
-               stddev_samp(o_totalprice) AS sigma
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) AS s1,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                        * CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) AS s2
         FROM orders GROUP BY o_orderpriority
+    ),
+    fenced AS (
+        SELECT o_orderpriority, n,
+               s1 / n AS mu_c,
+               sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma_c
+        FROM stats
     )
     SELECT o.o_orderpriority,
            count(*) AS n_total,
-           count(CASE WHEN abs((o_totalprice - mu) / sigma) > 2.5
+           count(CASE WHEN abs((CAST(round(o_totalprice * 100) AS BIGINT)
+                                - mu_c) / sigma_c) > 2.5
                       THEN 1 END) AS n_outliers,
-           round(sum(CASE WHEN abs((o_totalprice - mu) / sigma) <= 2.5
-                          THEN o_totalprice END), 2) AS sum_kept
-    FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+           CAST(sum(CASE WHEN abs((CAST(round(o_totalprice * 100) AS BIGINT)
+                                   - mu_c) / sigma_c) <= 2.5
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                    END) AS DOUBLE) / 100.0 AS sum_kept
+    FROM orders o JOIN fenced s ON o.o_orderpriority = s.o_orderpriority
     GROUP BY o.o_orderpriority
     """,
 )
@@ -222,26 +241,48 @@ def clean_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     group mean are flagged and excluded from the kept sum — the
     numeric-column analogue of the text quality gate.
 
-    Same two-pass topology as imputation: tiny per-group (μ, σ)
+    Same two-pass topology as imputation: tiny per-group moment
     aggregate broadcast back over the fact table; the z expression is
-    pure double arithmetic in whole-stage codegen. Quantile-based
+    pure double arithmetic in whole-stage codegen. The moments are
+    EXACT integer cents / cents-squared sums (money-grid discipline,
+    SCALING.md float-equality audit): a float avg/stddev pair drifts
+    with partition order, and a 2.5-sigma fence built from drifting
+    stats can flip boundary rows between runs/engines. Quantile-based
     (IQR) gating swaps the stats aggregate for `agg_percentiles`'
     exact-percentile aggregate; the join-back stage is identical.
     """
     o = load_table(spark, sf_dir, "orders")
+    c = money.cents(F.col("o_totalprice"))
+    # exact integer moment sums (money-grid discipline): the fence
+    # doubles (mu_c, sigma_c) derive from order-independent cents /
+    # cents^2 totals, so the 2.5-sigma boundary cannot drift with
+    # partition order or engine; the z ratio is scale-invariant, so
+    # cents-space z equals dollar-space z exactly
     stats = o.groupBy("o_orderpriority").agg(
-        F.avg("o_totalprice").alias("mu"),
-        F.stddev_samp("o_totalprice").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+        money.sum_exact(c).cast("double").alias("s1"),
+        money.sum_exact(c * c).cast("double").alias("s2"),
     )
-    z = F.abs((F.col("o_totalprice") - F.col("mu")) / F.col("sigma"))
+    fenced = stats.select(
+        "o_orderpriority",
+        (F.col("s1") / F.col("n")).alias("mu_c"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma_c"),
+    )
+    z = F.abs((c - F.col("mu_c")) / F.col("sigma_c"))
     return (
-        o.join(F.broadcast(stats), "o_orderpriority")
+        o.join(F.broadcast(fenced), "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.count(F.when(z > 2.5, 1)).alias("n_outliers"),
-            F.round(
-                F.sum(F.when(z <= 2.5, F.col("o_totalprice"))), 2
+            (
+                F.sum(F.when(z <= 2.5, c).cast("decimal(28,0)")).cast(
+                    "double"
+                )
+                / 100.0
             ).alias("sum_kept"),
         )
     )

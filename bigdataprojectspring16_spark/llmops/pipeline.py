@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import money
 from ..registry import query
 from ..tables import load_table
 from .similarity import dot
@@ -261,8 +262,15 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     ),
     clipped AS (
-        SELECT e.event_type, e.value,
-               least(greatest(e.value, f.lo), f.hi) AS cval,
+        -- quantize-then-sum discipline: cval is quantized to the 1e-6
+        -- output grid PER ROW (identical doubles on both engines), so
+        -- the moment sums below are exact integer arithmetic in any
+        -- accumulation order; raw value is on the fixture's 0.01 grid
+        -- already (cents)
+        SELECT e.event_type,
+               CAST(round(e.value * 100) AS BIGINT) AS v_c,
+               CAST(round(least(greatest(e.value, f.lo), f.hi) * 1000000)
+                    AS BIGINT) AS cval_e6,
                CASE WHEN e.value < f.lo THEN 1 END AS is_lo,
                CASE WHEN e.value > f.hi THEN 1 END AS is_hi
         FROM events e JOIN fences f USING (event_type)
@@ -271,9 +279,13 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            count(is_lo) AS n_clipped_lo,
            count(is_hi) AS n_clipped_hi,
-           round(avg(value), 6) AS mean_raw,
-           round(avg(cval), 6) AS mean_winsor,
-           round(stddev_samp(cval), 6) AS sd_winsor
+           round(CAST(sum(v_c) AS DOUBLE) / 100.0 / count(*), 6) AS mean_raw,
+           round(CAST(sum(cval_e6) AS DOUBLE) / 1e6 / count(*), 6)
+               AS mean_winsor,
+           round(sqrt((CAST(sum(cval_e6 * cval_e6) AS DOUBLE)
+                       - CAST(sum(cval_e6) AS DOUBLE)
+                         * CAST(sum(cval_e6) AS DOUBLE) / count(*))
+                      / (count(*) - 1)) / 1e6, 6) AS sd_winsor
     FROM clipped GROUP BY event_type
     """,
 )
@@ -299,20 +311,31 @@ def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.95)").alias("hi"),
     )
     cval = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    # quantize-then-sum (money-grid discipline): cval quantizes to the
+    # 1e-6 output grid per row, so the moment sums are exact integers
+    # in any accumulation order — a float avg/stddev pair can drift
+    # with partition order and flip the rounded 6th decimal
     clipped = ev.join(F.broadcast(fences), "event_type").select(
         "event_type",
-        "value",
-        cval.alias("cval"),
+        money.cents(F.col("value")).alias("v_c"),
+        F.round(cval * 1000000, 0).cast("long").alias("cval_e6"),
         F.when(F.col("value") < F.col("lo"), 1).alias("is_lo"),
         F.when(F.col("value") > F.col("hi"), 1).alias("is_hi"),
     )
+    n = F.count(F.lit(1))
+    s1 = money.sum_exact(F.col("cval_e6")).cast("double")
+    s2 = money.sum_exact(F.col("cval_e6") * F.col("cval_e6")).cast("double")
     return clipped.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        n.alias("n"),
         F.count("is_lo").alias("n_clipped_lo"),
         F.count("is_hi").alias("n_clipped_hi"),
-        F.round(F.avg("value"), 6).alias("mean_raw"),
-        F.round(F.avg("cval"), 6).alias("mean_winsor"),
-        F.round(F.stddev_samp("cval"), 6).alias("sd_winsor"),
+        F.round(
+            money.sum_exact(F.col("v_c")).cast("double") / 100.0 / n, 6
+        ).alias("mean_raw"),
+        F.round(s1 / 1e6 / n, 6).alias("mean_winsor"),
+        F.round(
+            F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / 1e6, 6
+        ).alias("sd_winsor"),
     )
 
 

@@ -13,24 +13,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..registry import query
 from ..tables import load_table
 
 
 @query(
     "agg_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT
         l_returnflag,
         l_linestatus,
         round(sum(l_quantity), 2) AS sum_qty,
         round(sum(l_extendedprice), 2) AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-            AS sum_charge,
-        round(avg(l_quantity), 6) AS avg_qty,
-        round(avg(l_extendedprice), 6) AS avg_price,
-        round(avg(l_discount), 6) AS avg_disc,
+        {money.money2_sql(f"sum({money.REV_E4_SQL})")} AS sum_disc_price,
+        CAST({money.div_half_up_sql(
+            f"sum({money.REV_E4_SQL}"
+            " * (100 + CAST(round(l_tax * 100) AS BIGINT)))",
+            10000,
+        )} AS DOUBLE) / 100.0 AS sum_charge,
+        round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+              / count(*), 6) AS avg_qty,
+        round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS DOUBLE) / 100.0 / count(*), 6) AS avg_price,
+        round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+              / 100.0 / count(*), 6) AS avg_disc,
         count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -38,21 +45,49 @@ from ..tables import load_table
     """,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship — TPC-H Q1 shape: filtered scan → 8-way grouped agg."""
+    """Flagship — TPC-H Q1 shape: filtered scan → 8-way grouped agg.
+
+    Money-grid discipline (functions/money.py): disc_price is a 4-dp
+    quantity and charge a 6-dp one, so rounding a FLOAT sum of them
+    to 2 dp sits on half-cent boundaries (the q10 class); both now
+    sum exactly on their integer grids (e4 / e6 units) and the
+    averages derive from the same exact integer totals. sum_qty and
+    sum_base_price keep plain float sums: their summands are already
+    on the output grid, so the true total has no boundary digits.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    disc_e4 = money.rev_e4()
+    charge_e6 = disc_e4 * (F.lit(100).cast("long") + money.pct(F.col("l_tax")))
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            money.money2(money.sum_exact(disc_e4)).alias("sum_disc_price"),
+            (
+                money.div_half_up(money.sum_exact(charge_e6), 10000).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
+            F.round(
+                money.sum_exact(money.cents(F.col("l_extendedprice"))).cast(
+                    "double"
+                )
+                / 100.0
+                / n,
+                6,
+            ).alias("avg_price"),
+            F.round(
+                money.sum_exact(money.pct(F.col("l_discount"))).cast("double")
+                / 100.0
+                / n,
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

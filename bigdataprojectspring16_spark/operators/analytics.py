@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..registry import query
 from ..tables import load_table, ts_seconds
 
@@ -237,11 +238,7 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(money.money2(money.sum_exact(money.rev_e4())).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -359,12 +356,12 @@ def custdist_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q14_promo_share",
-    oracle="""
+    oracle=f"""
     SELECT round(
-        100.0 * sum(CASE WHEN p_type = 'PROMO'
-                         THEN l_extendedprice * (1 - l_discount)
-                         ELSE 0 END)
-        / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN {money.REV_E4_SQL}
+                         ELSE 0 END) AS DOUBLE)
+        / CAST(sum({money.REV_E4_SQL}) AS DOUBLE), 6) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
@@ -385,14 +382,18 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = money.rev_e4()
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * money.sum_exact(
+                    F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                / money.sum_exact(rev_e4).cast("double"),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -638,13 +639,13 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_rfm_segments",
-    oracle="""
+    oracle=f"""
     WITH rfm AS (
         SELECT o_custkey,
                date_diff('day', max(o_orderdate), TIMESTAMP '2001-12-31')
                    AS recency,
                count(*) AS freq,
-               round(sum(o_totalprice), 2) AS monetary
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_c
         FROM orders GROUP BY o_custkey
     ),
     cuts AS (
@@ -654,9 +655,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                quantile_cont(freq, 0.25) AS f1,
                quantile_cont(freq, 0.50) AS f2,
                quantile_cont(freq, 0.75) AS f3,
-               quantile_cont(monetary, 0.25) AS m1,
-               quantile_cont(monetary, 0.50) AS m2,
-               quantile_cont(monetary, 0.75) AS m3
+               quantile_cont(monetary_c, 0.25) AS m1,
+               quantile_cont(monetary_c, 0.50) AS m2,
+               quantile_cont(monetary_c, 0.75) AS m3
         FROM rfm
     ),
     scored AS (
@@ -664,14 +665,15 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + CAST(recency > r3 AS INT) AS r,
                1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
                  + CAST(freq > f3 AS INT) AS f,
-               1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
-                 + CAST(monetary > m3 AS INT) AS m,
-               monetary
+               1 + CAST(monetary_c > m1 AS INT) + CAST(monetary_c > m2 AS INT)
+                 + CAST(monetary_c > m3 AS INT) AS m,
+               monetary_c
         FROM rfm CROSS JOIN cuts
     )
     SELECT r, f, m,
            count(*) AS n_customers,
-           round(avg(monetary), 4) AS avg_monetary
+           CAST({money.div_half_up_sql("sum(monetary_c) * 100", "count(*)")}
+                AS DOUBLE) / 10000.0 AS avg_monetary
     FROM scored GROUP BY r, f, m
     """,
 )
@@ -696,12 +698,15 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = o.groupBy("o_custkey").agg(
         F.datediff(anchor, F.max("o_orderdate")).alias("recency"),
         F.count(F.lit(1)).alias("freq"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        # exact cents (money-grid discipline): the float money sum
+        # this replaced could flip its last cent with partition order
+        # and drag every downstream cutpoint with it
+        F.sum(money.cents(F.col("o_totalprice"))).alias("monetary_c"),
     )
     cuts = rfm.agg(
         *[
             F.percentile(c, q).alias(f"{c[0]}{i}")
-            for c in ("recency", "freq", "monetary")
+            for c in ("recency", "freq", "monetary_c")
             for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
         ]
     )
@@ -717,12 +722,26 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = rfm.crossJoin(F.broadcast(cuts)).select(
         bucket("recency").alias("r"),
         bucket("freq").alias("f"),
-        bucket("monetary").alias("m"),
-        "monetary",
+        bucket("monetary_c").alias("m"),
+        "monetary_c",
     )
-    return scored.groupBy("r", "f", "m").agg(
+    seg = scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        money.sum_exact(F.col("monetary_c")).alias("sum_c"),
+    )
+    # round(avg_dollars, 4) on the exact grid: half-up((cents*100)/n)
+    # in 1e-4-dollar units, the column-denominator div_half_up form
+    return seg.select(
+        "r",
+        "f",
+        "m",
+        "n_customers",
+        (
+            money.div_half_up(
+                F.col("sum_c") * 100, F.col("n_customers")
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("avg_monetary"),
     )
 
 
@@ -780,30 +799,33 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
         SELECT c_mktsegment AS seg, o_custkey AS c,
-               round(sum(o_totalprice), 2) AS rev
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY seg, c
     ),
     cum AS (
-        SELECT seg, rev,
-               sum(rev) OVER (
-                   PARTITION BY seg ORDER BY rev DESC, c
+        SELECT seg, rev_c,
+               sum(rev_c) OVER (
+                   PARTITION BY seg ORDER BY rev_c DESC, c
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS cum_rev,
-               sum(rev) OVER (PARTITION BY seg) AS tot_rev
+               ) AS cum_c,
+               sum(rev_c) OVER (PARTITION BY seg) AS tot_c
         FROM spend
     ),
     classed AS (
-        SELECT seg, rev, tot_rev,
-               CASE WHEN cum_rev / tot_rev <= 0.5 THEN 'A'
-                    WHEN cum_rev / tot_rev <= 0.8 THEN 'B'
+        -- exact integer class boundaries (money-grid discipline):
+        -- share <= 0.5 is 2*cum <= tot, share <= 0.8 is 5*cum <= 4*tot
+        SELECT seg, rev_c, tot_c,
+               CASE WHEN 2 * cum_c <= tot_c THEN 'A'
+                    WHEN 5 * cum_c <= 4 * tot_c THEN 'B'
                     ELSE 'C' END AS cls
         FROM cum
     )
     SELECT seg, cls,
            count(*) AS n_customers,
-           round(sum(rev), 2) AS class_rev,
-           round(sum(rev) / max(tot_rev), 6) AS rev_share
+           CAST(sum(rev_c) AS DOUBLE) / 100.0 AS class_rev,
+           round(CAST(sum(rev_c) AS DOUBLE) / CAST(max(tot_c) AS DOUBLE), 6)
+               AS rev_share
     FROM classed GROUP BY seg, cls
     """,
 )
@@ -813,39 +835,51 @@ def orders_abc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cumulative-revenue-share classes (A: first 50% of segment
     revenue, B: next 30%, C: tail) via a running sum over the
     per-customer aggregate — windows are PARTITIONED by segment
-    (the plan guard bans the global form). Determinism: revenues
-    are rounded to 2dp before the cumulative sum and the ordering
-    (rev DESC, custkey) is total, so both engines add the same
-    doubles in the same sequence. The window input is one row per
-    customer, not the fact table.
+    (the plan guard bans the global form). Determinism (money-grid
+    discipline): per-customer revenue is an exact integer cents sum,
+    the running/total window sums are exact decimals over the total
+    (rev_c DESC, custkey) order, and the 50%/80% class boundaries are
+    integer cross-multiplications — no float ever decides a class.
+    The window input is one row per customer, not the fact table.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     spend = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("c"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"))
     )
     wc = (
         Window.partitionBy("seg")
-        .orderBy(F.desc("rev"), F.asc("c"))
+        .orderBy(F.desc("rev_c"), F.asc("c"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wt = Window.partitionBy("seg")
-    share = F.col("cum_rev") / F.col("tot_rev")
+    dec = F.col("rev_c").cast(money.MONEY_DEC)
     classed = spend.select(
         "seg",
-        "rev",
-        F.sum("rev").over(wc).alias("cum_rev"),
-        F.sum("rev").over(wt).alias("tot_rev"),
+        "rev_c",
+        F.sum(dec).over(wc).alias("cum_c"),
+        F.sum(dec).over(wt).alias("tot_c"),
     ).withColumn(
         "cls",
-        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C"),
+        # exact integer class boundaries: share <= 0.5 is
+        # 2*cum <= tot; share <= 0.8 is 5*cum <= 4*tot — no float
+        # ratio anywhere near a class boundary
+        F.when(2 * F.col("cum_c") <= F.col("tot_c"), "A")
+        .when(5 * F.col("cum_c") <= 4 * F.col("tot_c"), "B")
+        .otherwise("C"),
     )
     return classed.groupBy("seg", "cls").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("rev"), 2).alias("class_rev"),
-        F.round(F.sum("rev") / F.max("tot_rev"), 6).alias("rev_share"),
+        (money.sum_exact(F.col("rev_c")).cast("double") / 100.0).alias(
+            "class_rev"
+        ),
+        F.round(
+            money.sum_exact(F.col("rev_c")).cast("double")
+            / F.max("tot_c").cast("double"),
+            6,
+        ).alias("rev_share"),
     )
 
 
@@ -1137,8 +1171,13 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ref AS (SELECT max(ts) AS ref_ts FROM events)
     SELECT user_id,
            count(*) AS n_events,
-           round(sum(value * exp(-0.05 * (epoch(ref_ts) - epoch(ts))
-                                 / 86400.0)), 6) AS decayed_value
+           -- floor-quantize-then-sum: per-row decayed value floored to
+           -- the 1e-8 grid (identical doubles both engines -> identical
+           -- integers), so the per-user sum is exact in any order
+           round(CAST(sum(CAST(floor(value
+                     * exp(-0.05 * (epoch(ref_ts) - epoch(ts)) / 86400.0)
+                     * 100000000) AS BIGINT)) AS DOUBLE) / 100000000.0, 6)
+               AS decayed_value
     FROM events CROSS JOIN ref
     GROUP BY user_id
     ORDER BY decayed_value DESC, user_id
@@ -1172,8 +1211,16 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            # floor-quantize-then-sum (money-grid discipline): floor to
+            # the 1e-8 grid per row, exact integer sum in any order
             F.round(
-                F.sum(F.col("value") * F.exp(-0.05 * age_days)), 6
+                money.sum_exact(
+                    F.floor(
+                        F.col("value") * F.exp(-0.05 * age_days) * 1e8
+                    )
+                ).cast("double")
+                / 1e8,
+                6,
             ).alias("decayed_value"),
         )
         .orderBy(F.col("decayed_value").desc(), "user_id")

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..registry import query
 from ..tables import load_table, ts_seconds
 
@@ -349,10 +350,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_multiway_star",
-    oracle="""
+    oracle=f"""
     SELECT
         n_name,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        {money.money2_sql(f"sum({money.REV_E4_SQL})")} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -378,7 +379,6 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .where(
@@ -391,7 +391,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .where(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(money.money2(money.sum_exact(money.rev_e4())).alias("revenue"))
     )
 
 

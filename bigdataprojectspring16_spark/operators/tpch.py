@@ -50,73 +50,26 @@ rounded doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
 
-# Exact sums cap at decimal(38,0) (Spark) / HUGEINT (DuckDB): a plain
-# BIGINT e4 accumulator wraps at ~9e14 dollars per group — reachable
-# for nation-level groups at the 100 TB target SF.
-_MONEY_DEC = "decimal(28,0)"
-
-
-def _cents(col: Column) -> Column:
-    """Exact integer cents from a 2-dp money double (fixture grid)."""
-    return F.round(col * 100, 0).cast("long")
-
-
-def _pct(col: Column) -> Column:
-    """Exact integer percent from a 0.01-grid rate double."""
-    return F.round(col * 100, 0).cast("long")
-
-
-def _rev_e4() -> Column:
-    """l_extendedprice * (1 - l_discount) in exact 1e-4-dollar units."""
-    return _cents(F.col("l_extendedprice")) * (F.lit(100).cast("long") - _pct(F.col("l_discount")))
-
-
-def _sum_exact(e4_col: Column) -> Column:
-    """Order-independent exact money sum: decimal(38,0) accumulator."""
-    return F.sum(e4_col.cast(_MONEY_DEC))
-
-
-def _div_half_up(total_dec: Column, den: int) -> Column:
-    """round-half-away-from-zero(total / den) on exact integers.
-
-    ``(abs(t) + den//2) / den`` is decimal division (exact: Spark
-    keeps >=6 fractional digits for these precisions) and ``floor``
-    of it is the exact integer quotient — no double arithmetic
-    anywhere, so the result is bit-identical to the oracle's
-    ``(abs(t) + den//2) // den`` HUGEINT division. For odd ``den``
-    an exact half is impossible, so the half convention is moot.
-    """
-    sign = F.when(total_dec < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
-    return sign * F.floor((F.abs(total_dec) + F.lit(den // 2)) / F.lit(den))
-
-
-def _money2(total_e4: Column) -> Column:
-    """e4 exact total -> 2-dp dollars as double (half-up cents)."""
-    return _div_half_up(total_e4, 100).cast("double") / F.lit(100.0)
-
-
-_REV_E4_SQL = (
-    "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+# Money-grid helpers live in functions/money.py (single source of
+# truth shared with the analytics/curation money queries); aliased
+# here to keep the query bodies terse.
+from ..functions.money import (  # noqa: E402
+    REV_E4_SQL as _REV_E4_SQL,
+    cents as _cents,
+    div_half_up as _div_half_up,
+    div_half_up_sql as _div_half_up_sql,
+    money2 as _money2,
+    money2_sql as _money2_sql,
+    pct as _pct,
+    rev_e4 as _rev_e4,
+    sum_exact as _sum_exact,
 )
-
-
-def _div_half_up_sql(total: str, den: int) -> str:
-    t = f"({total})"
-    return (
-        f"(CASE WHEN {t} < 0 THEN -1 ELSE 1 END)"
-        f" * ((abs({t}) + {den // 2}) // {den})"
-    )
-
-
-def _money2_sql(total_e4: str) -> str:
-    return f"CAST({_div_half_up_sql(total_e4, 100)} AS DOUBLE) / 100.0"
 
 
 @query(

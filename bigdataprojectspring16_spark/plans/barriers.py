@@ -38,6 +38,8 @@ single-process tools/tests may still flip the globals.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 
 #: Session-conf key selecting the barrier mechanism (values above).
@@ -90,3 +92,26 @@ def conf_knob(spark: SparkSession, conf_key: str, module_default: bool) -> bool:
     if low in ("0", "false", "no", "off"):
         return False
     raise ValueError(f"{conf_key}={v!r}: expected a boolean value")
+
+
+@contextlib.contextmanager
+def knob(spark: SparkSession, conf_key: str, value):
+    """Session-conf knob override for the duration of a block.
+
+    The race-free A/B surface (VERDICT r5 item 7): flipping a module
+    global races any query constructed concurrently in the same
+    process, and the flip leaks if the experiment dies mid-arm. A
+    conf override is scoped to this session, is read at
+    plan-construction time by :func:`conf_knob` /
+    ``spark.conf.get``, and is restored (or unset) on exit even on
+    error. The module globals stay immutable defaults.
+    """
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, str(value))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)

@@ -25,6 +25,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def to_spark_sql(sql: str) -> str:
+    """One-token dialect shim: DuckDB spells integer division ``//``,
+    Spark SQL spells it ``div`` — identical semantics on the
+    non-negative integer operands the money-grid oracles feed it
+    (functions/money.py). Everything else in the portable subset
+    parses verbatim on both engines.
+    """
+    return sql.replace(" // ", " div ")
+
+
 #: Keys whose oracle SQL is portable Spark SQL (probed; each is
 #: asserted equal to its DataFrame form in tests/test_sql_surface.py).
 #: The rest use DuckDB-specific spellings (list_* functions,

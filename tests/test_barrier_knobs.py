@@ -14,6 +14,7 @@ import pytest
 
 from bigdataprojectspring16_spark import QUERIES
 from bigdataprojectspring16_spark.llmops import dedup, graph
+from bigdataprojectspring16_spark.plans.barriers import knob
 
 from .conftest import SF_SMALL as SF_DIR
 
@@ -27,38 +28,28 @@ def _rows(spark, key):
     ["dedup_minhash_lsh", "dedup_threshold_sweep", "dedup_near_jaccard"],
 )
 def test_materialize_shared_both_settings_identical(spark, key):
-    saved = dedup.MATERIALIZE_SHARED
-    try:
-        dedup.MATERIALIZE_SHARED = False
+    # knob() flips via session conf — the race-free surface; module
+    # globals stay immutable defaults (VERDICT r5 item 7)
+    with knob(spark, dedup.MATERIALIZE_SHARED_CONF, False):
         base = _rows(spark, key)
-        dedup.MATERIALIZE_SHARED = True
+    with knob(spark, dedup.MATERIALIZE_SHARED_CONF, True):
         alt = _rows(spark, key)
-    finally:
-        dedup.MATERIALIZE_SHARED = saved
     assert base == alt
 
 
 def test_materialize_invariants_both_settings_identical(spark):
-    saved = graph.MATERIALIZE_INVARIANTS
-    try:
-        graph.MATERIALIZE_INVARIANTS = True
+    with knob(spark, graph.MATERIALIZE_INVARIANTS_CONF, True):
         base = _rows(spark, "graph_pagerank_rounds")
-        graph.MATERIALIZE_INVARIANTS = False
+    with knob(spark, graph.MATERIALIZE_INVARIANTS_CONF, False):
         alt = _rows(spark, "graph_pagerank_rounds")
-    finally:
-        graph.MATERIALIZE_INVARIANTS = saved
     assert base == alt
 
 
 def test_lazy_checkpoint_both_settings_identical(spark):
-    saved = graph.LAZY_CHECKPOINT
-    try:
-        graph.LAZY_CHECKPOINT = True
+    with knob(spark, graph.LAZY_CHECKPOINT_CONF, True):
         base = _rows(spark, "graph_connected_components")
-        graph.LAZY_CHECKPOINT = False
+    with knob(spark, graph.LAZY_CHECKPOINT_CONF, False):
         alt = _rows(spark, "graph_connected_components")
-    finally:
-        graph.LAZY_CHECKPOINT = saved
     assert base == alt
 
 
@@ -86,18 +77,13 @@ _BARRIER_KEYS = [
 
 @pytest.mark.parametrize("mode", ["eager", "durable"])
 def test_barrier_modes_result_identical(spark, tmp_path, mode):
-    saved_shared = dedup.MATERIALIZE_SHARED
-    dedup.MATERIALIZE_SHARED = True
-    try:
+    with knob(spark, dedup.MATERIALIZE_SHARED_CONF, True):
         base = {k: _rows(spark, k) for k in _BARRIER_KEYS}
         if mode == "durable":
             spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-        spark.conf.set(barriers.BARRIER_MODE_CONF, mode)
-        for k in _BARRIER_KEYS:
-            assert _rows(spark, k) == base[k], (mode, k)
-    finally:
-        spark.conf.unset(barriers.BARRIER_MODE_CONF)
-        dedup.MATERIALIZE_SHARED = saved_shared
+        with knob(spark, barriers.BARRIER_MODE_CONF, mode):
+            for k in _BARRIER_KEYS:
+                assert _rows(spark, k) == base[k], (mode, k)
 
 
 def test_barrier_mode_rejects_unknown_value(spark):
@@ -123,12 +109,8 @@ def test_conf_knob_overrides_module_global(spark):
 
 
 def test_pagerank_edge_build_both_strategies_identical(spark):
-    saved = graph.PAGERANK_EDGE_BUILD
-    try:
-        graph.PAGERANK_EDGE_BUILD = "group"
+    with knob(spark, graph.PAGERANK_EDGE_BUILD_CONF, "group"):
         base = _rows(spark, "graph_pagerank_rounds")
-        graph.PAGERANK_EDGE_BUILD = "selfjoin"
+    with knob(spark, graph.PAGERANK_EDGE_BUILD_CONF, "selfjoin"):
         alt = _rows(spark, "graph_pagerank_rounds")
-    finally:
-        graph.PAGERANK_EDGE_BUILD = saved
     assert base == alt

@@ -10,7 +10,11 @@ from __future__ import annotations
 import pytest
 
 from bigdataprojectspring16_spark import ORACLES, QUERIES
-from bigdataprojectspring16_spark.sql import PORTABLE_SQL_KEYS, register_views
+from bigdataprojectspring16_spark.sql import (
+    PORTABLE_SQL_KEYS,
+    register_views,
+    to_spark_sql,
+)
 from tests.conftest import _sorted_rows
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -23,7 +27,7 @@ def views(spark):
 
 @pytest.mark.parametrize("name", PORTABLE_SQL_KEYS)
 def test_sql_equals_dataframe(spark, name):
-    sql_df = spark.sql(ORACLES[name])
+    sql_df = spark.sql(to_spark_sql(ORACLES[name]))
     api_df = QUERIES[name](spark, SF_DIR)
     s_cols, a_cols = sql_df.columns, api_df.columns
     assert sorted(s_cols) == sorted(a_cols)

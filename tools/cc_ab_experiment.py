@@ -36,7 +36,8 @@ def timed():
 
 
 def set_variant(lazy: bool):
-    graph.LAZY_CHECKPOINT = lazy
+    # session-conf flip (race-free; module global stays the default)
+    spark.conf.set(graph.LAZY_CHECKPOINT_CONF, str(lazy))
 
 
 # warmup (primes parquet cache for both arms)

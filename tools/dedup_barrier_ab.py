@@ -28,15 +28,15 @@ def timed(key):
 
 results = {k: {"A": [], "B": []} for k in KEYS}
 for k in KEYS:  # warm both arms
-    dedup.MATERIALIZE_SHARED = False
+    spark.conf.set(dedup.MATERIALIZE_SHARED_CONF, 'false')
     timed(k)
-    dedup.MATERIALIZE_SHARED = True
+    spark.conf.set(dedup.MATERIALIZE_SHARED_CONF, 'true')
     timed(k)
 for i in range(N):
     for k in KEYS:
-        dedup.MATERIALIZE_SHARED = False
+        spark.conf.set(dedup.MATERIALIZE_SHARED_CONF, 'false')
         results[k]["A"].append(timed(k))
-        dedup.MATERIALIZE_SHARED = True
+        spark.conf.set(dedup.MATERIALIZE_SHARED_CONF, 'true')
         results[k]["B"].append(timed(k))
     print(
         f"pair {i}: "

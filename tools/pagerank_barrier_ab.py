@@ -27,15 +27,15 @@ def timed():
     return time.perf_counter() - t0
 
 
-graph.MATERIALIZE_INVARIANTS = False
+spark.conf.set(graph.MATERIALIZE_INVARIANTS_CONF, 'false')
 timed()
-graph.MATERIALIZE_INVARIANTS = True
+spark.conf.set(graph.MATERIALIZE_INVARIANTS_CONF, 'true')
 timed()
 a, b = [], []
 for i in range(N):
-    graph.MATERIALIZE_INVARIANTS = False
+    spark.conf.set(graph.MATERIALIZE_INVARIANTS_CONF, 'false')
     a.append(timed())
-    graph.MATERIALIZE_INVARIANTS = True
+    spark.conf.set(graph.MATERIALIZE_INVARIANTS_CONF, 'true')
     b.append(timed())
     print(f"pair {i}: A={a[-1]:.2f} B={b[-1]:.2f}", flush=True)
 a.sort()

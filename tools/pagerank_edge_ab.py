@@ -35,15 +35,15 @@ def timed():
     return time.perf_counter() - t0
 
 
-graph.PAGERANK_EDGE_BUILD = "selfjoin"
+spark.conf.set(graph.PAGERANK_EDGE_BUILD_CONF, 'selfjoin')
 timed()
-graph.PAGERANK_EDGE_BUILD = "group"
+spark.conf.set(graph.PAGERANK_EDGE_BUILD_CONF, 'group')
 timed()
 a, b = [], []
 for i in range(N):
-    graph.PAGERANK_EDGE_BUILD = "selfjoin"
+    spark.conf.set(graph.PAGERANK_EDGE_BUILD_CONF, 'selfjoin')
     a.append(timed())
-    graph.PAGERANK_EDGE_BUILD = "group"
+    spark.conf.set(graph.PAGERANK_EDGE_BUILD_CONF, 'group')
     b.append(timed())
     print(f"pair {i}: A={a[-1]:.2f} B={b[-1]:.2f}", flush=True)
 a.sort()
