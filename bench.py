@@ -58,6 +58,11 @@ HEADLINE = [
     # index build + probed cell join) — the retrieval-shaped plan the
     # flat set lacked.
     "sim_ivf_topk",
+    # r6 additions: BM25 retrieval (filtered-explode + broadcast
+    # stats) and GPT-style sequence packing (two-level prefix sum) —
+    # the lexical-retrieval and packing-manifest shapes.
+    "text_bm25_topk",
+    "docs_pack_sequences",
 ]
 
 #: r5 addition: the TPC-H completion set (operators/tpch.py) — the 12

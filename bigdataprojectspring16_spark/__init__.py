@@ -45,8 +45,11 @@ from .operators import tpch  # noqa: F401
 #   4. 11 refresh slots for keys last checked in r1, spread across
 #      modules, so the oldest hard signal keeps rotating forward.
 _DRIVER_WINDOW_PRIORITY = [
-    # r6 rotation (VERDICT r5 next-round #4): changed code verifies
-    # FIRST, then the oldest driver signals.
+    # r6 rotation (VERDICT r5 next-round #4): never-driver-checked
+    # keys first (NEW r6 keys), then r6-changed code, then the oldest
+    # driver signals.
+    # -- group 0: NEW r6 keys (BM25 retrieval + sequence packing) --
+    "text_bm25_topk", "docs_pack_sequences",
     # -- group 1: r6-changed code (operators/tpch.py money-grid
     #    rework, VERDICT r5 items 1/6: exact integer-cents sums, the
     #    q10 red fix, q15 cents equality, q11 integer cutoff) --
@@ -77,8 +80,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_watermark_late", "stream_dedup_watermark", "stream_session",
     "stream_sliding", "stream_tumbling", "stream_stateful_counter",
     "custdist_two_level_agg", "events_anomaly_mad",
-    "events_dau_stickiness", "events_funnel",
-    "events_transition_matrix", "orders_abc_by_segment",
+    "events_funnel", "orders_abc_by_segment",
     "orders_rfm_segments", "orders_yoy_growth", "retention_cohorts",
     "tpch_q14_promo_share",
     "tpch_q16_supplier_cnt", "tpch_q18_large_orders", "tpch_q3_topk",

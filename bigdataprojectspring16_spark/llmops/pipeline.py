@@ -900,3 +900,102 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct(F.col("comp_id")).alias("n_clusters"),
     )
+
+
+#: Token budget per packed training sequence (concatenate-and-chunk).
+PACK_BUDGET = 256
+#: Documents per prefix-sum shard; doc_ids are dense, so shards are
+#: contiguous id ranges and shard order IS document order.
+PACK_SHARD = 1024
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_toks,
+               coalesce(sum(n_toks) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM toks
+    )
+    SELECT CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           CAST(sum(n_toks) AS BIGINT) AS started_tokens
+    FROM cum
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concatenate the corpus in
+    doc_id order and chunk the token stream into fixed-budget
+    training sequences (GPT-style concatenate-and-chunk); each
+    document is attributed to the sequence where it STARTS. Output is
+    the per-sequence census (doc count, id range, started tokens) —
+    the shape a packing job's manifest takes.
+
+    The packing key is an exclusive global prefix sum of token
+    counts. A single global window would serialize the corpus through
+    one partition, so the plan is the scale-correct TWO-LEVEL prefix
+    sum: (1) dense doc_ids shard into contiguous ranges
+    (``doc_id div {PACK_SHARD}``), per-shard token totals aggregate
+    at full parallelism; (2) shard offsets come from a running sum
+    over the CONTRACTED shard frame (|docs|/{PACK_SHARD} rows — the
+    one sanctioned tiny single-partition window, the q11/rfm
+    contracted-aggregate convention); (3) the within-shard exclusive
+    cumsum runs partitioned by shard and adds the broadcast offset.
+    All arithmetic is exact integers, so sequence boundaries are
+    engine- and partition-order-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+        (F.col("doc_id") - F.col("doc_id") % PACK_SHARD).alias("shard"),
+    )
+    shard_totals = toks.groupBy("shard").agg(
+        F.sum("n_toks").alias("shard_toks")
+    )
+    w_shards = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_totals.select(
+        "shard",
+        F.coalesce(F.sum("shard_toks").over(w_shards), F.lit(0)).alias(
+            "shard_offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        toks.join(F.broadcast(offsets), "shard")
+        .withColumn(
+            "cum_before",
+            F.col("shard_offset")
+            + F.coalesce(F.sum("n_toks").over(w_in), F.lit(0)),
+        )
+    )
+    seq = F.col("cum_before") - F.col("cum_before") % PACK_BUDGET
+    return (
+        cum.withColumn("seq_id", (seq / PACK_BUDGET).cast("long"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_toks").alias("started_tokens"),
+        )
+        .orderBy("seq_id")
+    )

@@ -681,3 +681,132 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("top_frac"), 6).alias("avg_top_frac"),
         F.round(F.max("dup_frac"), 6).alias("max_dup_frac"),
     )
+
+
+#: BM25 query terms (fixed retrieval probe over the fixture vocab) and
+#: the standard Robertson parameters.
+BM25_TERMS = ("spark", "hash", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_term_sql(term: str) -> str:
+    """One term's BM25 contribution (the oracle mirror of the Spark
+    expression below — same fixed evaluation order)."""
+    tf = f"tf_{term}"
+    df = f"df_{term}"
+    return (
+        f"ln(1 + (n_docs - {df} + 0.5) / ({df} + 0.5))"
+        f" * ({tf} * (1.2 + 1))"
+        f" / ({tf} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id,
+               sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf_spark,
+               sum(CASE WHEN tok = 'hash'  THEN 1 ELSE 0 END) AS tf_hash,
+               sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS tf_merge
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) t
+        WHERE tok IN ('spark', 'hash', 'merge')
+        GROUP BY doc_id
+    ),
+    df AS (
+        SELECT count(CASE WHEN tf_spark > 0 THEN 1 END) AS df_spark,
+               count(CASE WHEN tf_hash  > 0 THEN 1 END) AS df_hash,
+               count(CASE WHEN tf_merge > 0 THEN 1 END) AS df_merge
+        FROM tf
+    )
+    SELECT doc_id,
+           CAST(dl AS BIGINT) AS dl,
+           round({_bm25_term_sql('spark')}
+                 + {_bm25_term_sql('hash')}
+                 + {_bm25_term_sql('merge')}, 6) AS bm25
+    FROM tf
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats CROSS JOIN df
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for a fixed 3-term query —
+    the lexical-retrieval primitive of a training-data pipeline
+    (quality-by-query probes, targeted corpus slicing, retrieval
+    baselines for embedding QA).
+
+    Scale shape: the exploded token stream filters to the QUERY
+    TERMS before any shuffle (a 3-value isin on a narrow projection
+    — the shuffled tf aggregate carries only matching tokens, a
+    ~|terms|/|vocab| reduction); corpus stats (N, avgdl) and the
+    3-value df frame are 1-row broadcasts; the per-doc score is one
+    codegen expression with FIXED term order (spark + hash + merge,
+    identical on both engines — no float-sum reordering); top-10
+    under (rounded score DESC, doc_id) plans as
+    TakeOrderedAndProject. Determinism: tf/df/dl are exact integers,
+    avgdl is one exact division, so every score input is an
+    identical double cross-engine (SCALING.md §MONEY grid rule).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ]
+    )
+    df = tf.agg(
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ]
+    )
+
+    def term_score(t: str):
+        tf_c = F.col(f"tf_{t}").cast("double")
+        df_c = F.col(f"df_{t}").cast("double")
+        idf = F.log(
+            1 + (F.col("n_docs") - df_c + 0.5) / (df_c + 0.5)
+        )
+        norm = tf_c + BM25_K1 * (
+            1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return idf * (tf_c * (BM25_K1 + 1)) / norm
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(df))
+        .select(
+            "doc_id",
+            "dl",
+            F.round(
+                term_score("spark") + term_score("hash") + term_score("merge"),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)

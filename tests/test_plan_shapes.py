@@ -60,10 +60,21 @@ def test_multiway_star_broadcasts_all_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+#: Keys whose ONLY unpartitioned window runs over a provably
+#: CONTRACTED frame (the q11/rfm contracted-aggregate convention
+#: applied to windows): docs_pack_sequences' shard-offset running sum
+#: sees |docs|/PACK_SHARD rows — its fact-sized window is partitioned
+#: by shard, asserted separately in
+#: test_pack_sequences_prefix_sum_is_sharded.
+CONTRACTED_WINDOW_KEYS = {"docs_pack_sequences"}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_unpartitioned_window_in_any_declared_query(spark, name):
     """No declared plan moves the whole input to a single partition
     via an empty window partition spec (the WindowExec warning)."""
+    if name in CONTRACTED_WINDOW_KEYS:
+        pytest.skip("sanctioned contracted-frame window (see allowlist)")
     df = QUERIES[name](spark, SF_DIR)
     plan = _optimized(df)
     lowered = plan.lower()
@@ -518,3 +529,30 @@ def test_tpch_q11_agg_keeps_full_key_parallelism(spark):
     # ...plus the window's post-agg exchange on n_name alone
     assert re.search(r"hashpartitioning\(n_name#\d+, \d+\)", plan)
     assert "Window" in plan and "SinglePartition" not in plan
+
+
+def test_bm25_is_filtered_broadcast_take_ordered(spark):
+    """BM25's fact-sized stages must stay lean: the token stream
+    filters to the 3 query terms before its aggregate, the stats/df
+    frames join as broadcasts (no shuffled join for 1-row frames),
+    and the top-10 is a TakeOrderedAndProject — never a global
+    sort."""
+    plan = _physical(QUERIES["text_bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # two 1-row frames
+    assert "CartesianProduct" not in plan
+    assert "Sort " not in plan.replace("SortMergeJoin", "")
+
+
+def test_pack_sequences_prefix_sum_is_sharded(spark):
+    """The packing cumsum must be the two-level form: the per-doc
+    window partitions by shard (full parallelism over the fact);
+    only the CONTRACTED shard-offset frame (|docs|/1024 rows) may
+    pass through a single partition."""
+    import re
+
+    plan = _physical(QUERIES["docs_pack_sequences"](spark, SF_DIR))
+    # within-shard window partitioned on the shard key
+    assert re.search(r"hashpartitioning\(shard#\d+", plan)
+    # the offsets frame broadcasts back — no shuffled join on the fact
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
