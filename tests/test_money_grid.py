@@ -91,3 +91,71 @@ def test_half_up_div_column_denominator(spark):
         assert got[(n, d)] == int(q), (n, d, got[(n, d)], q)
     assert got[(7, 2)] == 4 and got[(-7, 2)] == -4  # half away from zero
     assert got[(1000001, 2000000)] == 1  # just over half rounds up
+
+
+# every key migrated to exact money/quantized sums in r6 — the
+# direct regression guard for the q10 class: results must be
+# BIT-IDENTICAL under a different reducer count (a float-sum path
+# changes its low bits with partition order; the exact-integer path
+# cannot)
+MONEY_EXACT_KEYS = [
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_delta",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "agg_pricing_summary",
+    "tpch_q3_topk",
+    "tpch_q14_promo_share",
+    "join_multiway_star",
+    "orders_abc_by_segment",
+    "orders_rfm_segments",
+    "clean_outlier_zscore",
+    "clean_winsorize",
+    "scalar_math",
+    "events_decayed_user_value",
+    "text_bm25_topk",
+    "docs_pack_sequences",
+]
+
+
+@pytest.mark.parametrize("key", MONEY_EXACT_KEYS)
+def test_money_keys_are_partition_invariant(spark, key):
+    from bigdataprojectspring16_spark import QUERIES
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(tuple(r) for r in QUERIES[key](spark, SF_DIR).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = sorted(tuple(r) for r in QUERIES[key](spark, SF_DIR).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a == b, f"{key}: result depends on reducer count"
+
+
+def test_half_up_div_randomized_cross_engine(spark):
+    """Seeded randomized sweep of div_half_up vs the DuckDB mirror —
+    one batched job per engine, exact integer agreement required."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    totals = [rng.randint(-10**15, 10**15) for _ in range(400)] + [
+        rng.randint(-10**6, 10**6) * 50 for _ in range(100)  # half grid
+    ]
+    sdf = spark.createDataFrame([(t,) for t in totals], "t long").select(
+        "t", money.div_half_up(F.col("t"), 100).cast("long").alias("q")
+    )
+    got = {r["t"]: r["q"] for r in sdf.collect()}
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT t, " + money.div_half_up_sql("t", 100) + " FROM (SELECT "
+        "unnest(?::BIGINT[]) AS t)", [totals]
+    ).fetchall()
+    for t, q in rows:
+        assert got[t] == int(q), (t, got[t], q)
