@@ -48,8 +48,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # r6 rotation (VERDICT r5 next-round #4): never-driver-checked
     # keys first (NEW r6 keys), then r6-changed code, then the oldest
     # driver signals.
-    # -- group 0: NEW r6 keys (BM25 retrieval + sequence packing) --
-    "text_bm25_topk", "docs_pack_sequences",
+    # -- group 0: NEW r6 keys (BM25 retrieval, sequence packing,
+    #    class-balanced sampling) --
+    "text_bm25_topk", "docs_pack_sequences", "sample_class_balanced",
     # -- group 1: r6-changed code (operators/tpch.py money-grid
     #    rework, VERDICT r5 items 1/6: exact integer-cents sums, the
     #    q10 red fix, q15 cents equality, q11 integer cutoff) --
@@ -82,8 +83,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "custdist_two_level_agg", "events_anomaly_mad",
     "events_funnel", "orders_abc_by_segment",
     "orders_rfm_segments", "orders_yoy_growth", "retention_cohorts",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt", "tpch_q18_large_orders", "tpch_q3_topk",
+    "tpch_q14_promo_share", "tpch_q18_large_orders", "tpch_q3_topk",
 ]
 
 

@@ -248,3 +248,76 @@ def sample_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
         ).alias("fold_share"),
     )
+
+
+@query(
+    "sample_class_balanced",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+    ),
+    m AS (SELECT min(n_lang) AS m FROM counts),
+    ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           max(n_lang) AS n_total,
+           CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+           round(CAST(count(*) AS DOUBLE) / max(n_lang), 6) AS keep_share
+    FROM ranked r CROSS JOIN m JOIN counts USING (lang)
+    WHERE rn <= m
+    GROUP BY r.lang
+    ORDER BY r.lang
+    """,
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly the
+    MINORITY class's count (adaptive, computed from the data — unlike
+    `sample_stratified`'s fixed rates or `sample_domain_cap`'s fixed
+    cap), selected by the injective multiplicative-hash order so the
+    kept SET is identical on any engine or partitioning
+    (`kept_id_sum` pins it, not just the counts).
+
+    Same exact two-level top-K shape as `sample_domain_cap` — rank
+    within (lang, shard) first, keep <= m per shard, re-rank the
+    survivors per lang — except the cutoff m is a data-dependent
+    1-row broadcast instead of a literal. Per-class top-m is a subset
+    of the union of per-shard top-ms, so the two-level result equals
+    the oracle's single-level form; a single whole-class window would
+    serialize 1/|langs| of the corpus through one task at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    m = counts.agg(F.min("n_lang").alias("m"))
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    shard = F.pmod(F.col("doc_id"), F.lit(8))
+    w1 = Window.partitionBy("lang", shard).orderBy(h.asc(), F.col("doc_id").asc())
+    w2 = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    survivors = (
+        d.crossJoin(F.broadcast(m))
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= F.col("m"))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= F.col("m"))
+    )
+    return (
+        survivors.join(F.broadcast(counts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("n_lang").alias("n_total"),
+            F.sum("doc_id").alias("kept_id_sum"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n_lang"), 6
+            ).alias("keep_share"),
+        )
+        .orderBy("lang")
+    )

@@ -37,7 +37,7 @@ lands on a half-cent boundary (q10 hit it: 307843.595 summed to
 ...60 on Spark and ...59 in DuckDB). Every money aggregate here
 instead sums on the EXACT integer grid the fixture guarantees
 (prices/balances on cents, discounts on a 0.01 grid, quantities
-integral — verified by ``tests/test_oracle_parity.py`` fixtures):
+integral — pinned by ``tests/test_money_grid.py``):
 per-line values become exact 1e-4-dollar bigints
 (``cents(price) * (100 - pct(discount))``), the sum is an
 overflow-safe exact decimal(38,0) on Spark / HUGEINT in DuckDB, and
