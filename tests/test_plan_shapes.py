@@ -556,3 +556,21 @@ def test_pack_sequences_prefix_sum_is_sharded(spark):
     assert re.search(r"hashpartitioning\(shard#\d+", plan)
     # the offsets frame broadcasts back — no shuffled join on the fact
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_product_in_any_declared_query(spark, name):
+    """Registry-wide scale guard: no declared plan may contain a
+    CartesianProduct — every cross join in the engine is the
+    broadcast of a provably tiny frame (1-row totals/cutoffs, kxdim
+    centroids, bucket tables), which plans as a
+    BroadcastNestedLoopJoin, never the all-pairs shuffle shape. A
+    CartesianProduct appearing here means a broadcast hint was lost
+    or a join degenerated — at 100 TB that is the difference between
+    a constant-size build side and |corpus|^2 work."""
+    plan = _optimized(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # Join conditions may be None only on the sanctioned broadcast
+    # cross joins; a condition-free SortMergeJoin is the same hazard
+    # in different clothes.
+    assert "SortMergeJoin Inner, None" not in plan
