@@ -51,6 +51,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- group 0: NEW r6 keys (BM25 retrieval, sequence packing,
     #    class-balanced sampling) --
     "text_bm25_topk", "docs_pack_sequences", "sample_class_balanced",
+    "join_asof_nearest",
     # -- group 1: r6-changed code (operators/tpch.py money-grid
     #    rework, VERDICT r5 items 1/6: exact integer-cents sums, the
     #    q10 red fix, q15 cents equality, q11 integer cutoff) --
@@ -80,7 +81,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #    each round) rotate in next round. --
     "stream_watermark_late", "stream_dedup_watermark", "stream_session",
     "stream_sliding", "stream_tumbling", "stream_stateful_counter",
-    "custdist_two_level_agg", "events_anomaly_mad",
+    "events_anomaly_mad",
     "events_funnel", "orders_abc_by_segment",
     "orders_rfm_segments", "orders_yoy_growth", "retention_cohorts",
     "tpch_q14_promo_share", "tpch_q18_large_orders", "tpch_q3_topk",

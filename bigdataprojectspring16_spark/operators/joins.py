@@ -622,3 +622,89 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.date_trunc("hour", F.col("p_ts")).alias("purchase_hour")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+    b AS (
+        SELECT p.event_id, p.user_id, p.ts, c.ts AS back_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    f AS (
+        SELECT p.event_id, c.ts AS fwd_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts AS purchase_ts,
+           CASE WHEN back_ts IS NULL THEN fwd_ts
+                WHEN fwd_ts IS NULL THEN back_ts
+                WHEN epoch_us(b.ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(b.ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_click_ts
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST join: the same-user click closest in time to
+    each purchase, either direction; exact ties go to the earlier
+    (backward) click — the pandas ``merge_asof(direction='nearest')``
+    flavor completing the backward/forward pair.
+
+    One union-tag pass, ONE user_id shuffle, two window passes over
+    the same partitioning (ordered (ts, tag asc) for the backward
+    last-click and (ts, tag desc) for the forward first-click, so a
+    click at the exact purchase ts lands inside BOTH frames —
+    matching the oracle's inclusive >= / <= ASOF pair). The nearest
+    pick compares exact microsecond deltas (bigints, no float time
+    arithmetic — the r4 truncation-audit discipline). No join
+    anywhere: strictly cheaper than the two-ASOF-join plan the
+    oracle states.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tag").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tagged = (
+        clicks.unionByName(purchases)
+        .withColumn("back_ts", F.last("click_ts", ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.first("click_ts", ignorenulls=True).over(w_fwd))
+    )
+    d_back = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
+    d_fwd = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    nearest = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(d_back <= d_fwd, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+    )
+    return tagged.where(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        nearest.alias("nearest_click_ts"),
+    )

@@ -574,3 +574,13 @@ def test_no_cartesian_product_in_any_declared_query(spark, name):
     # cross joins; a condition-free SortMergeJoin is the same hazard
     # in different clothes.
     assert "SortMergeJoin Inner, None" not in plan
+
+
+def test_asof_nearest_single_shuffle_no_join(spark):
+    """The nearest as-of must stay the union-tag rewrite: one user_id
+    exchange feeding both window passes, and no join operator at all
+    (the oracle's two-ASOF-join form is the shape being beaten)."""
+    plan = _physical(QUERIES["join_asof_nearest"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
