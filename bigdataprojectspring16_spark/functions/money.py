@@ -36,14 +36,30 @@ from pyspark.sql import functions as F
 MONEY_DEC = "decimal(28,0)"
 
 
+def _grid_int(col: Column, scale: int) -> Column:
+    """Exact integer from a value on the 1/scale decimal grid.
+
+    ``trunc(x*scale + sign(x)*0.5)`` instead of ``round(x*scale)``:
+    identical integers for on-grid values (the representation error
+    is ~1e-9, the half-shift tolerance is 0.5 — contract pinned by
+    tests/test_money_grid.py), but pure float arithmetic + an
+    integral cast, where Spark's round() allocates a BigDecimal per
+    row — measured 2x on the Q1 fact-sized aggregate
+    (tools/money_ab.py). The ORACLE side keeps the spelled-out
+    ``CAST(round(x*100) AS BIGINT)``: different formula, same
+    integer on the grid.
+    """
+    return (col * scale + F.signum(col) * 0.5).cast("long")
+
+
 def cents(col: Column) -> Column:
     """Exact integer cents from a 2-dp money double (fixture grid)."""
-    return F.round(col * 100, 0).cast("long")
+    return _grid_int(col, 100)
 
 
 def pct(col: Column) -> Column:
     """Exact integer percent from a 0.01-grid rate double."""
-    return F.round(col * 100, 0).cast("long")
+    return _grid_int(col, 100)
 
 
 def rev_e4() -> Column:

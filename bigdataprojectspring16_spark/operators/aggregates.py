@@ -24,8 +24,9 @@ from ..tables import load_table
     SELECT
         l_returnflag,
         l_linestatus,
-        round(sum(l_quantity), 2) AS sum_qty,
-        round(sum(l_extendedprice), 2) AS sum_base_price,
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_base_price,
         {money.money2_sql(f"sum({money.REV_E4_SQL})")} AS sum_disc_price,
         CAST({money.div_half_up_sql(
             f"sum({money.REV_E4_SQL}"
@@ -47,49 +48,59 @@ from ..tables import load_table
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship — TPC-H Q1 shape: filtered scan → 8-way grouped agg.
 
-    Money-grid discipline (functions/money.py): disc_price is a 4-dp
-    quantity and charge a 6-dp one, so rounding a FLOAT sum of them
-    to 2 dp sits on half-cent boundaries (the q10 class); both now
-    sum exactly on their integer grids (e4 / e6 units) and the
-    averages derive from the same exact integer totals. sum_qty and
-    sum_base_price keep plain float sums: their summands are already
-    on the output grid, so the true total has no boundary digits.
+    Money-grid discipline at LONG-SUM SPEED (functions/money.py):
+    disc_price is a 4-dp quantity and charge a 6-dp one, so rounding
+    a FLOAT sum of them to 2 dp sits on half-cent boundaries (the
+    q10 class). A flat decimal(38,0) sum is exact but ~3x slower on
+    the fact-sized aggregate (measured: tools/money_ab.py, 0.47s ->
+    1.38s at sf0.1), so Q1 uses the HIERARCHICAL exact sum: level 1
+    aggregates per (group, partition id) in plain BIGINT — exact
+    because one task's rows are input-size-bounded (a 1 GB split
+    cannot sum past ~1e12 dollars, 900x under the int64 e4 ceiling)
+    and the partial combine is local, so the shuffle carries only
+    |groups| x |partitions| partial rows; level 2 merges those
+    partials in decimal(38,0), where overflow is impossible at any
+    corpus size. Exactness AND speed; the oracle states the
+    single-level HUGEINT form, equal by associativity of integer
+    addition.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_e4 = money.rev_e4()
     charge_e6 = disc_e4 * (F.lit(100).cast("long") + money.pct(F.col("l_tax")))
     qty = F.round(F.col("l_quantity"), 0).cast("long")
-    n = F.count(F.lit(1))
-    return (
+    partials = (
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            money.money2(money.sum_exact(disc_e4)).alias("sum_disc_price"),
-            (
-                money.div_half_up(money.sum_exact(charge_e6), 10000).cast(
-                    "double"
-                )
-                / 100.0
-            ).alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / n, 6).alias("avg_qty"),
-            F.round(
-                money.sum_exact(money.cents(F.col("l_extendedprice"))).cast(
-                    "double"
-                )
-                / 100.0
-                / n,
-                6,
-            ).alias("avg_price"),
-            F.round(
-                money.sum_exact(money.pct(F.col("l_discount"))).cast("double")
-                / 100.0
-                / n,
-                6,
-            ).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.spark_partition_id().alias("_p"),
         )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(qty).alias("_qty"),
+            F.sum(money.cents(F.col("l_extendedprice"))).alias("_base_c"),
+            F.sum(disc_e4).alias("_disc_e4"),
+            F.sum(charge_e6).alias("_charge_e6"),
+            F.sum(money.pct(F.col("l_discount"))).alias("_pct"),
+        )
+    )
+    n = F.sum("_n")
+    qty_t = money.sum_exact(F.col("_qty"))
+    base_t = money.sum_exact(F.col("_base_c"))
+    disc_t = money.sum_exact(F.col("_disc_e4"))
+    charge_t = money.sum_exact(F.col("_charge_e6"))
+    pct_t = money.sum_exact(F.col("_pct"))
+    return partials.groupBy("l_returnflag", "l_linestatus").agg(
+        qty_t.cast("double").alias("sum_qty"),
+        (base_t.cast("double") / 100.0).alias("sum_base_price"),
+        money.money2(disc_t).alias("sum_disc_price"),
+        (money.div_half_up(charge_t, 10000).cast("double") / 100.0).alias(
+            "sum_charge"
+        ),
+        F.round(qty_t.cast("double") / n, 6).alias("avg_qty"),
+        F.round(base_t.cast("double") / 100.0 / n, 6).alias("avg_price"),
+        F.round(pct_t.cast("double") / 100.0 / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 
