@@ -45,46 +45,43 @@ from .operators import tpch  # noqa: F401
 #   4. 11 refresh slots for keys last checked in r1, spread across
 #      modules, so the oldest hard signal keeps rotating forward.
 _DRIVER_WINDOW_PRIORITY = [
-    # r6 rotation (VERDICT r5 next-round #4): never-driver-checked
-    # keys first (NEW r6 keys), then r6-changed code, then the oldest
-    # driver signals.
-    # -- group 0: NEW r6 keys (BM25 retrieval, sequence packing,
-    #    class-balanced sampling) --
-    "text_bm25_topk", "docs_pack_sequences", "sample_class_balanced",
-    "join_asof_nearest",
-    # -- group 1: r6-changed code (operators/tpch.py money-grid
-    #    rework, VERDICT r5 items 1/6: exact integer-cents sums, the
-    #    q10 red fix, q15 cents equality, q11 integer cutoff) --
-    "tpch_q10_returned_items", "tpch_q15_top_supplier",
-    "tpch_q11_important_stock", "tpch_q5_local_supplier_volume",
-    "tpch_q6_revenue_delta", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q17_small_qty_revenue", "tpch_q19_disjunctive_revenue",
-    # unchanged this round but same r5 batch, kept with the family
-    "tpch_q12_ship_delay_priority", "tpch_q20_lead_promo_suppliers",
-    # r6-changed: money-grid / quantize-then-sum migrations from the
-    #   SCALING.md float-sum-boundary audit (comparison sites and the
-    #   round-below-summand-grid display sums)
-    "clean_outlier_zscore", "agg_pricing_summary", "join_multiway_star",
-    "clean_winsorize", "scalar_math", "events_decayed_user_value",
-    # -- group 2: the 13 keys whose newest driver signal is r1
-    #    (VERDICT r5 missing #3) --
-    "agg_approx_distinct", "agg_bool_and_or", "agg_histogram_bins",
-    "agg_max_by", "agg_mode", "agg_skew_kurtosis", "limit_topk",
-    "window_first_last", "window_lag_lead", "window_ntile_percent",
-    "window_rank_topn", "window_running_total", "window_share_of_total",
-    # -- group 3: 25 of the 45 r2-signal keys — streaming first
-    #    (stream_watermark_late / stream_dedup_watermark last showed
-    #    as r2 rows-only FAILs before they were sanctioned), then the
-    #    analytics composites and the UDF surface. The 20 remaining
-    #    r2 keys (scalar/setop family, every one sf0.1-receipt-green
-    #    each round) rotate in next round. --
-    "stream_watermark_late", "stream_dedup_watermark", "stream_session",
-    "stream_sliding", "stream_tumbling", "stream_stateful_counter",
-    "events_anomaly_mad",
-    "events_funnel", "orders_abc_by_segment",
-    "orders_rfm_segments", "orders_yoy_growth", "retention_cohorts",
-    "tpch_q14_promo_share", "tpch_q18_large_orders", "tpch_q3_topk",
+    # r7 rotation (VERDICT r6 next-round #1): r7-changed code first
+    # (changed code verifies FIRST, ADVICE r2 discipline), then ALL
+    # 29 keys whose newest driver signal is r2, then 9 r3-stale
+    # refresh slots. After this window lands, no key's newest real
+    # driver signal is older than r3.
+    # -- group 0: r7-changed code --
+    #    ADVICE r6: overflow-safe pre-reduced Knuth hash, both sides
+    #    (functions/hashing.py — 7 keys):
+    "sample_class_balanced", "sample_hash_mod", "sample_stratified",
+    "sample_domain_cap", "sample_kfold_stratified",
+    "dedup_incremental_batch", "docs_fold_contamination",
+    #    VERDICT r6 item 4: exact-integer-identity imputed sum:
+    "clean_impute_nulls",
+    #    ADVICE r6: charge partial re-gridded e6 -> e4 at level 1:
+    "agg_pricing_summary",
+    #    VERDICT r6 item 3: window-form star rounds (CC fixpoint):
+    "graph_connected_components", "graph_cluster_keep_best",
+    #    oracle-comment change only (exp() rounding caveat):
+    "events_decayed_user_value",
+    # -- group 1: the 29 r2-stale keys (VERDICT r6 item 1's list) --
+    "array_ops", "custdist_two_level_agg", "dedup_keep_best",
+    "dedup_latest_by_key", "distinct_exact", "docs_curation_pipeline",
+    "events_dau_stickiness", "events_moving_avg_7d",
+    "events_transition_matrix", "explode_wordcount", "json_extract",
+    "map_from_entries", "map_hof", "merge_upsert_batch",
+    "pivot_event_types", "scalar_conditional", "scalar_date",
+    "scalar_string", "set_except", "set_intersect", "set_union_all",
+    "set_union_distinct", "timeseries_gap_fill",
+    "tpch_q16_supplier_cnt", "udaf_geomean", "udf_grouped_zscore",
+    "udf_scalar_python", "udtf_surface", "unpivot_metrics",
+    # -- group 2: 9 r3-stale refresh slots, spread across modules
+    #    (scalar edge cases, multimodal, the O(n²)-by-spec sweep,
+    #    eval-set decontamination, simhash) --
+    "array_hof", "scalar_bitwise", "scalar_try_cast",
+    "multimodal_binary_stats", "multimodal_frame_sample",
+    "multimodal_join", "sim_pairs_threshold", "text_decontaminate",
+    "dedup_simhash",
 ]
 
 

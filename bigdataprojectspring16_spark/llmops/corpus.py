@@ -17,22 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import knuth_hash, knuth_hash_sql
 from ..registry import query
 from ..tables import load_table
-
-#: Knuth multiplicative hash constant — the same deterministic,
-#: engine-portable split used by sample_hash_mod (scans.py): pure
-#: int64 arithmetic gives the identical batch membership in any
-#: engine, partition layout, or cluster size.
-_KNUTH = 2654435761
 
 
 @query(
     "dedup_incremental_batch",
-    oracle="""
+    oracle=f"""
     WITH d AS (
         SELECT doc_id, source, n_chars, sha256(text) AS digest,
-               (doc_id * 2654435761) % 10 = 7 AS is_batch
+               {knuth_hash_sql("doc_id", 10)} = 7 AS is_batch
         FROM documents
     ),
     corpus AS (SELECT DISTINCT digest FROM d WHERE NOT is_batch),
@@ -77,7 +72,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         F.sha2(F.col("text"), 256).alias("digest"),
-        ((F.col("doc_id") * F.lit(_KNUTH)) % 10 == 7).alias("is_batch"),
+        (knuth_hash(F.col("doc_id"), 10) == 7).alias("is_batch"),
     )
     corpus = d.where(~F.col("is_batch")).select("digest").distinct()
     batch = d.where(F.col("is_batch"))
@@ -840,10 +835,10 @@ def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_fold_contamination",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT doc_id, lang, string_split(text, ' ') AS tk,
-               (doc_id * 2654435761) % 5 = 0 AS is_test
+               {knuth_hash_sql("doc_id", 5)} = 0 AS is_test
         FROM documents
     ),
     g AS (
@@ -898,7 +893,7 @@ def docs_fold_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.split("text", " ").alias("tk"),
-        ((F.col("doc_id") * F.lit(_KNUTH)) % 5 == 0).alias("is_test"),
+        (knuth_hash(F.col("doc_id"), 5) == 0).alias("is_test"),
     ).where(F.size("tk") >= 5)
     gram_at = lambda i: F.concat_ws(
         " ",

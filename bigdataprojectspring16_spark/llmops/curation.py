@@ -159,16 +159,13 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT l_returnflag, nullif(l_discount, 0.0) AS d FROM lineitem
-    ),
-    m AS (
-        SELECT l_returnflag, avg(d) AS mean_d FROM t GROUP BY l_returnflag
     )
-    SELECT t.l_returnflag,
+    SELECT l_returnflag,
            count(*) AS n_rows,
            count(*) - count(d) AS n_imputed,
-           round(sum(coalesce(d, mean_d)), 6) AS sum_filled
-    FROM t JOIN m ON t.l_returnflag = m.l_returnflag
-    GROUP BY t.l_returnflag
+           round(CAST(sum(CAST(round(d * 100) AS BIGINT)) AS DOUBLE)
+                 * count(*) / (100.0 * count(d)), 6) AS sum_filled
+    FROM t GROUP BY l_returnflag
     """,
 )
 def clean_impute_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,26 +173,36 @@ def clean_impute_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``nullif(l_discount, 0)`` — fixtures are null-free) are filled
     with their group's non-null mean, reporting how many were imputed.
 
-    Two-pass shape: a per-group aggregate (group-count-sized, so the
-    join back is a broadcast at any realistic group cardinality),
-    then ``coalesce`` row-wise. A global ``fillna(constant)`` is the
-    degenerate one-pass case; per-group imputation is what actually
-    preserves distributions in a training corpus.
+    The imputed sum is computed by the EXACT integer identity
+    (VERDICT r6 item 4, retiring the last documented float-sum risk):
+    filling every null with the group's non-null mean scales the
+    group sum by n_rows / n_nonnull, i.e. sum_filled = s * n / n_nn,
+    so both engines derive it from the same three exact integers —
+    the 0.01-grid discount sum in e2 units (order-independent
+    integer sum), the row count, and the non-null count — through an
+    identical IEEE double expression, instead of a float sum of
+    irrational mean values whose low bits depended on partition
+    order (~1e-7/group flip probability, SCALING.md §MONEY).
+
+    A materializing imputation (the rows themselves) stays the
+    broadcast-join + ``coalesce`` shape; for the audit summary the
+    identity also DELETES that join — one aggregation pass, which at
+    100 TB is strictly less work than the two-pass form.
     """
     li = load_table(spark, sf_dir, "lineitem")
     t = li.select(
         "l_returnflag",
         F.nullif(F.col("l_discount"), F.lit(0.0)).alias("d"),
     )
-    m = t.groupBy("l_returnflag").agg(F.avg("d").alias("mean_d"))
-    return (
-        t.join(F.broadcast(m), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count("d")).alias("n_imputed"),
-            F.round(F.sum(F.coalesce("d", "mean_d")), 6).alias("sum_filled"),
-        )
+    n = F.count(F.lit(1))
+    n_nn = F.count("d")
+    s_e2 = money.sum_exact(money.pct(F.col("d")))
+    return t.groupBy("l_returnflag").agg(
+        n.alias("n_rows"),
+        (n - n_nn).alias("n_imputed"),
+        F.round(
+            s_e2.cast("double") * n / (F.lit(100.0) * n_nn), 6
+        ).alias("sum_filled"),
     )
 
 

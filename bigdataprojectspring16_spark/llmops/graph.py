@@ -74,6 +74,18 @@ PAGERANK_EDGE_BUILD_CONF = (
     "spark.bigdataprojectspring16.pagerankEdgeBuild"
 )
 
+#: Star-round implementation for the CC fixpoint: "window" (default,
+#: r7) computes each round's neighborhood minimum with ONE window
+#: aggregate over the edge frame — one shuffle per star — where the
+#: r3-r6 "groupjoin" form paid a groupBy shuffle PLUS a join shuffle
+#: per star (~5 exchanges per large+small round vs ~3). Same output
+#: set by construction (the window min is the same per-key min the
+#: groupBy computed; tests/test_graph.py pins equality on adversarial
+#: graphs and tests/test_barrier_knobs.py across knob settings).
+#: A/B receipt: tools/cc_star_ab.py -> SCALING.md §CC, r7.
+CC_STAR_IMPL = "window"
+CC_STAR_IMPL_CONF = "spark.bigdataprojectspring16.ccStarImpl"
+
 
 def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Undirected token-Jaccard ≥ threshold edges (src, dst) with the
@@ -175,6 +187,15 @@ def components_over_docs(d: DataFrame, threshold: float = 0.95) -> DataFrame:
     ).unionByName(member_labels)
 
 
+def _star_impl(spark: SparkSession) -> str:
+    impl = spark.conf.get(CC_STAR_IMPL_CONF, None) or CC_STAR_IMPL
+    if impl not in ("window", "groupjoin"):
+        raise ValueError(
+            f"{CC_STAR_IMPL_CONF}={impl!r}: expected 'window' or 'groupjoin'"
+        )
+    return impl
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: for each node u, connect every strictly
     larger neighbor to min(Γ(u) ∪ {u}).
@@ -183,10 +204,31 @@ def _large_star(edges: DataFrame) -> DataFrame:
     directed (u, v) input pair, so there is no blowup, and the
     following small-star round's aggregates are duplicate-insensitive
     (min) — the round's single trailing distinct dedups everything.
+
+    The neighborhood minimum is a WINDOW aggregate over the src
+    partition (r7, CC_STAR_IMPL): every input row needs (src, dst, m)
+    together, and a window delivers m in the SAME single shuffle that
+    groups the rows, where the r3-r6 groupBy+join form shuffled the
+    frame twice (once to aggregate, once to join m back). Per-key
+    skew is identical to the groupBy's (same key), and the frame is
+    min-only so Spark evaluates it as a running aggregate, not a
+    buffered sort-window.
     """
     nbr = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if _star_impl(edges.sparkSession) == "window":
+        from pyspark.sql import Window
+
+        m = F.least(
+            F.min("dst").over(Window.partitionBy("src")), F.col("src")
+        )
+        return (
+            nbr.withColumn("m", m)
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
     mins = nbr.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
     )
@@ -205,12 +247,39 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
     Tolerates duplicate input rows (min is duplicate-insensitive;
     row counts stay bounded by the input size) and dedups once at
-    the end — together with large-star's distinct-free emit this
-    keeps each full round at the minimal four keyed shuffles.
+    the end. Window form (r7): the per-u minimum rides the single
+    u-partition shuffle and each row emits BOTH its folded edge
+    (v → m) and its self edge (u → m) through one narrow explode —
+    the self edge appears once per input row instead of once per u,
+    which the trailing distinct (already required by the fold) absorbs
+    for free; the groupjoin form paid a second shuffle to join the
+    mins back.
     """
     e = edges.select(
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
     ).where(F.col("u") != F.col("v"))
+    if _star_impl(edges.sparkSession) == "window":
+        from pyspark.sql import Window
+
+        m = F.min("v").over(Window.partitionBy("u"))
+        return (
+            e.withColumn("m", m)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("src"), F.col("m").alias("dst")
+                        ),
+                        F.struct(
+                            F.col("u").alias("src"), F.col("m").alias("dst")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.src", "p.dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
     mins = e.groupBy("u").agg(F.min("v").alias("m"))
     folded = e.join(mins, "u").select(F.col("v").alias("src"), F.col("m").alias("dst"))
     self_edge = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))

@@ -55,18 +55,27 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact-sized aggregate (measured: tools/money_ab.py, 0.47s ->
     1.38s at sf0.1), so Q1 uses the HIERARCHICAL exact sum: level 1
     aggregates per (group, partition id) in plain BIGINT — exact
-    because one task's rows are input-size-bounded (a 1 GB split
-    cannot sum past ~1e12 dollars, 900x under the int64 e4 ceiling)
-    and the partial combine is local, so the shuffle carries only
-    |groups| x |partitions| partial rows; level 2 merges those
-    partials in decimal(38,0), where overflow is impossible at any
-    corpus size. Exactness AND speed; the oracle states the
-    single-level HUGEINT form, equal by associativity of integer
-    addition.
+    because one task's rows are input-size-bounded — and the partial
+    combine is local, so the shuffle carries only |groups| x
+    |partitions| partial rows; level 2 merges those partials in
+    decimal(38,0), where overflow is impossible at any corpus size.
+
+    Level-1 headroom (ADVICE r6): the bound must hold PER UNIT GRID.
+    Every level-1 partial here is e4 or coarser (a 1 GB split cannot
+    sum e4 units past ~1e16, 900x under the int64 ceiling) — charge,
+    the one e6-grid quantity (only ~10-30x headroom per split, and a
+    raised maxPartitionBytes would erode it), is NOT summed at e6:
+    since charge_e6 = disc_e4 * (100 + tax_pct) = 100 * disc_e4 +
+    disc_e4 * tax_pct, level 1 sums the e4-grid ``disc_e4 * tax_pct``
+    term (per-row at most 8% of disc_e4) and level 2 recombines
+    100 * disc_t + disctax_t in decimal — exact by distributivity.
+    Exactness AND speed; the oracle states the single-level HUGEINT
+    e6 form, equal by associativity + distributivity of integer
+    arithmetic.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_e4 = money.rev_e4()
-    charge_e6 = disc_e4 * (F.lit(100).cast("long") + money.pct(F.col("l_tax")))
+    disctax_e4 = disc_e4 * money.pct(F.col("l_tax"))
     qty = F.round(F.col("l_quantity"), 0).cast("long")
     partials = (
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
@@ -80,7 +89,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qty).alias("_qty"),
             F.sum(money.cents(F.col("l_extendedprice"))).alias("_base_c"),
             F.sum(disc_e4).alias("_disc_e4"),
-            F.sum(charge_e6).alias("_charge_e6"),
+            F.sum(disctax_e4).alias("_disctax_e4"),
             F.sum(money.pct(F.col("l_discount"))).alias("_pct"),
         )
     )
@@ -88,7 +97,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty_t = money.sum_exact(F.col("_qty"))
     base_t = money.sum_exact(F.col("_base_c"))
     disc_t = money.sum_exact(F.col("_disc_e4"))
-    charge_t = money.sum_exact(F.col("_charge_e6"))
+    charge_t = 100 * disc_t + money.sum_exact(F.col("_disctax_e4"))
     pct_t = money.sum_exact(F.col("_pct"))
     return partials.groupBy("l_returnflag", "l_linestatus").agg(
         qty_t.cast("double").alias("sum_qty"),

@@ -1172,8 +1172,11 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*) AS n_events,
            -- floor-quantize-then-sum: per-row decayed value floored to
-           -- the 1e-8 grid (identical doubles both engines -> identical
-           -- integers), so the per-user sum is exact in any order
+           -- the 1e-8 grid, so the per-user sum is exact in any order.
+           -- exp() is not correctly rounded (JVM vs libm may differ by
+           -- 1 ulp), so the grids CAN disagree on a floored integer; the
+           -- defense is the two decimal orders of slack between the 1e-8
+           -- quantization grid and the 6-dp display round (ADVICE r6)
            round(CAST(sum(CAST(floor(value
                      * exp(-0.05 * (epoch(ref_ts) - epoch(ts)) / 86400.0)
                      * 100000000) AS BIGINT)) AS DOUBLE) / 100000000.0, 6)
@@ -1212,7 +1215,10 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             # floor-quantize-then-sum (money-grid discipline): floor to
-            # the 1e-8 grid per row, exact integer sum in any order
+            # the 1e-8 grid per row, exact integer sum in any order.
+            # exp() is only faithfully (not correctly) rounded, so a
+            # 1-ulp JVM/libm divergence can flip a floored integer;
+            # the 1e-8-grid -> 6-dp-display slack absorbs it
             F.round(
                 money.sum_exact(
                     F.floor(

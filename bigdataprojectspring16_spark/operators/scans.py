@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import knuth_hash, knuth_hash_sql
 from ..registry import query
 from ..tables import load_table
 
@@ -51,11 +52,11 @@ def scan_with_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_hash_mod",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT o_orderpriority, o_totalprice
         FROM orders
-        WHERE (o_orderkey * 2654435761) % 97 < 5
+        WHERE {knuth_hash_sql("o_orderkey", 97)} < 5
     )
     SELECT o_orderpriority,
            count(*) AS n_sampled,
@@ -64,19 +65,22 @@ def scan_with_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~5% sample via multiplicative key hashing
-    (Knuth's 2654435761), then an aggregate over the sample.
+    """Deterministic ~5% sample via pre-reduced multiplicative key
+    hashing (functions/hashing.py), then an aggregate over the sample.
 
     ``df.sample()`` is seed×partitioning dependent — useless for a
     reproducible-pipeline contract. Hashing the key with pure BIGINT
     arithmetic gives the identical sample in any engine, any partition
-    layout, any cluster size (max key 6e6 × 2.65e9 ≈ 1.6e16, well
-    inside int64). The predicate is Catalyst-foldable and evaluated
-    at the scan, so at 100 TB the sample costs one pass, no shuffle
-    beyond the final tiny aggregate.
+    layout, any cluster size; the prime pre-reduction keeps the
+    product int64-safe for ANY key (the raw ``key * 2654435761`` form
+    overflows past key ≈ 3.47e9 — TPC-H order keys reach that well
+    before the 100 TB SF, and the engines then diverge: ADVICE r6).
+    The predicate is Catalyst-foldable and evaluated at the scan, so
+    at 100 TB the sample costs one pass, no shuffle beyond the final
+    tiny aggregate.
     """
     o = load_table(spark, sf_dir, "orders")
-    keep = (F.col("o_orderkey") * F.lit(2654435761)) % 97 < 5
+    keep = knuth_hash(F.col("o_orderkey"), 97) < 5
     return (
         o.where(keep)
         .groupBy("o_orderpriority")
@@ -89,11 +93,11 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_stratified",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT c_mktsegment, c_acctbal
         FROM customer
-        WHERE (c_custkey * 2654435761) % 100 <
+        WHERE {knuth_hash_sql("c_custkey", 100)} <
               CASE WHEN c_mktsegment = 'BUILDING' THEN 20 ELSE 5 END
     )
     SELECT c_mktsegment, count(*) AS n_sampled,
@@ -108,13 +112,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare slice, downsample the rest) for training-data mixes.
 
     ``df.sampleBy`` is seeded-random and partition-dependent; the
-    arithmetic predicate is reproducible everywhere and stays a
-    narrow scan-side filter — no shuffle until the final tiny
+    arithmetic predicate is reproducible everywhere (pre-reduced so
+    the product never overflows int64 — functions/hashing.py) and
+    stays a narrow scan-side filter — no shuffle until the final tiny
     aggregate, at any scale.
     """
     c = load_table(spark, sf_dir, "customer")
     rate = F.when(F.col("c_mktsegment") == "BUILDING", 20).otherwise(5)
-    keep = (F.col("c_custkey") * F.lit(2654435761)) % 100 < rate
+    keep = knuth_hash(F.col("c_custkey"), 100) < rate
     return (
         c.where(keep)
         .groupBy("c_mktsegment")
@@ -127,12 +132,12 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_domain_cap",
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
         SELECT source, n_chars,
                row_number() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ORDER BY {knuth_hash_sql("doc_id", 4294967296)}, doc_id
                ) AS rn
         FROM documents
     ),
@@ -151,9 +156,10 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain balancing: keep at most K=50 docs per source, deterministically.
 
     The corpus-mixing primitive: cap each domain's contribution by a
-    reproducible hash order (multiplicative hash is injective mod
-    2^32, so the order is total — same survivors on any engine or
-    partitioning). Implemented as exact two-level top-K so the shape
+    reproducible hash order (pre-reduced multiplicative hash with the
+    raw doc_id as tiebreak, so the order is total and int64-safe for
+    any key — same survivors on any engine or partitioning).
+    Implemented as exact two-level top-K so the shape
     survives 100 TB: rank within (source, salt) shards first and keep
     K per shard — a shuffle whose partitions are bounded by shard
     granularity — then re-rank only the <= K x 8 survivors per
@@ -167,7 +173,7 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     k = 50
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h = knuth_hash(F.col("doc_id"), 4294967296)
     shard = F.pmod(F.col("doc_id"), F.lit(8))
     w1 = Window.partitionBy("source", shard).orderBy(h.asc(), F.col("doc_id").asc())
     w2 = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
@@ -194,9 +200,9 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_kfold_stratified",
-    oracle="""
+    oracle=f"""
     WITH f AS (
-        SELECT lang, (doc_id * 2654435761) % 5 AS fold, n_chars
+        SELECT lang, {knuth_hash_sql("doc_id", 5)} AS fold, n_chars
         FROM documents
     ),
     g AS (
@@ -229,7 +235,7 @@ def sample_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    fold = (F.col("doc_id") * F.lit(2654435761)) % 5
+    fold = knuth_hash(F.col("doc_id"), 5)
     g = (
         d.select("lang", fold.alias("fold"), "n_chars")
         .groupBy("lang", "fold")
@@ -252,7 +258,7 @@ def sample_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_class_balanced",
-    oracle="""
+    oracle=f"""
     WITH counts AS (
         SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
     ),
@@ -261,7 +267,7 @@ def sample_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, doc_id,
                row_number() OVER (
                    PARTITION BY lang
-                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ORDER BY {knuth_hash_sql("doc_id", 4294967296)}, doc_id
                ) AS rn
         FROM documents
     )
@@ -280,9 +286,11 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced downsampling: every language keeps exactly the
     MINORITY class's count (adaptive, computed from the data — unlike
     `sample_stratified`'s fixed rates or `sample_domain_cap`'s fixed
-    cap), selected by the injective multiplicative-hash order so the
-    kept SET is identical on any engine or partitioning
-    (`kept_id_sum` pins it, not just the counts).
+    cap), selected by the (pre-reduced hash, doc_id) total order so
+    the kept SET is identical on any engine or partitioning
+    (`kept_id_sum` pins it, not just the counts) and the hash product
+    stays int64-safe for any key (ADVICE r6 — the raw form overflowed
+    past doc_id ≈ 3.47e9, where Spark wraps but DuckDB raises).
 
     Same exact two-level top-K shape as `sample_domain_cap` — rank
     within (lang, shard) first, keep <= m per shard, re-rank the
@@ -297,7 +305,7 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     m = counts.agg(F.min("n_lang").alias("m"))
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h = knuth_hash(F.col("doc_id"), 4294967296)
     shard = F.pmod(F.col("doc_id"), F.lit(8))
     w1 = Window.partitionBy("lang", shard).orderBy(h.asc(), F.col("doc_id").asc())
     w2 = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())

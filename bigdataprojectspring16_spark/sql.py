@@ -25,14 +25,55 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _outside_literals_and_comments(sql: str) -> str:
+    """The SQL text with single-quoted literals and ``--`` comments
+    blanked out (quote/dash structure preserved), for token scoping."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # string literal; '' escapes a quote
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append("'" + " " * max(0, j - i - 1) + "'")
+            i = j + 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            out.append(" " * (j - i))
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def to_spark_sql(sql: str) -> str:
     """One-token dialect shim: DuckDB spells integer division ``//``,
     Spark SQL spells it ``div`` — identical semantics on the
     non-negative integer operands the money-grid oracles feed it
     (functions/money.py). Everything else in the portable subset
     parses verbatim on both engines.
+
+    Scoped per ADVICE r6: the rewrite refuses any oracle where
+    ``//`` appears inside a string literal or comment, so a blind
+    replace can never corrupt a literal — today's oracles only emit
+    the token via money.div_half_up_sql, and this guard keeps future
+    oracles honest instead of silently mangling them.
     """
-    return sql.replace(" // ", " div ")
+    token = " // "
+    if sql.count(token) != _outside_literals_and_comments(sql).count(token):
+        raise ValueError(
+            "to_spark_sql: ' // ' occurs inside a string literal or "
+            "comment; rewrite the oracle or extend the shim scoping"
+        )
+    return sql.replace(token, " div ")
 
 
 #: Keys whose oracle SQL is portable Spark SQL (probed; each is

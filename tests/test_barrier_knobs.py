@@ -114,3 +114,23 @@ def test_pagerank_edge_build_both_strategies_identical(spark):
     with knob(spark, graph.PAGERANK_EDGE_BUILD_CONF, "selfjoin"):
         alt = _rows(spark, "graph_pagerank_rounds")
     assert base == alt
+
+
+@pytest.mark.parametrize(
+    "key", ["graph_connected_components", "graph_cluster_keep_best"]
+)
+def test_cc_star_impl_both_forms_identical(spark, key):
+    # r7: the window star rounds must return the exact rows of the
+    # r3-r6 groupBy+join form (same per-key minima by construction;
+    # this pins it against the real fixture graph).
+    with knob(spark, graph.CC_STAR_IMPL_CONF, "window"):
+        base = _rows(spark, key)
+    with knob(spark, graph.CC_STAR_IMPL_CONF, "groupjoin"):
+        alt = _rows(spark, key)
+    assert base == alt
+
+
+def test_cc_star_impl_rejects_unknown_value(spark):
+    with knob(spark, graph.CC_STAR_IMPL_CONF, "bogus"):
+        with pytest.raises(ValueError, match="ccStarImpl"):
+            QUERIES["graph_connected_components"](spark, SF_DIR)

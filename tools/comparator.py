@@ -29,7 +29,13 @@ def norm(v):
         if math.isnan(v):
             return "f:NaN"  # distinct from None's "\x00" — NaN != NULL
         # driver-grade: collapse -0.0 and ulp drift beyond declared
-        # rounding, keep full cent-level sensitivity (conftest parity)
+        # rounding, keep full cent-level sensitivity (conftest parity).
+        # Known tolerance cliff (ADVICE r6): two values within 1e-10
+        # that STRADDLE a 9th-decimal round-half-even boundary still
+        # normalize differently — the failure mode is a spurious RED
+        # (strict), never a false green, so a receipt red on a
+        # 9th-decimal diff should be re-read against this note before
+        # being treated as a correctness regression.
         return f"f:{round(v, 9) + 0.0!r}"
     if isinstance(v, decimal.Decimal):
         return "d:" + str(v)
