@@ -63,6 +63,12 @@ HEADLINE = [
     # the lexical-retrieval and packing-manifest shapes.
     "text_bm25_topk",
     "docs_pack_sequences",
+    # r7 additions (VERDICT r6 item 5): the two r6 keys that never
+    # joined the bench — nearest-direction as-of join and the
+    # data-dependent-cutoff balanced sampler — so they gain a
+    # regression anchor (BASELINE.md r7 section).
+    "join_asof_nearest",
+    "sample_class_balanced",
 ]
 
 #: r5 addition: the TPC-H completion set (operators/tpch.py) — the 12

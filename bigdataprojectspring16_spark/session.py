@@ -58,7 +58,14 @@ _TUNED_SHUFFLE_PARTITIONS = os.environ.get(
 #: session (tests / bench). On a real cluster these come from
 #: spark-submit; sized here for local[32] with 128 GiB.
 _STARTUP_CONFS: dict[str, str] = {
-    "spark.driver.memory": "8g",
+    # Env-overridable (r7): at the in-repo sf1 decade a full 39-query
+    # bench.py pass in ONE session can transiently hold enough live
+    # broadcast blocks that an 8g driver heap fails a broadcast build
+    # mid-run (each key's sweep passes at 8g; the accumulation across
+    # ~80 consecutive executions is what needs headroom — broadcasts
+    # are only reclaimed by GC-driven ContextCleaner cycles). Local
+    # sizing only; on a cluster this comes from spark-submit.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Tuned directly when WE build the session; externally-built
     # sessions only get this if they sit at the stock default (see
     # ensure_session_confs).
