@@ -50,7 +50,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # 29 keys whose newest driver signal is r2, then 9 r3-stale
     # refresh slots. After this window lands, no key's newest real
     # driver signal is older than r3.
-    # -- group 0: r7-changed code --
+    # -- group 0a: NEW r7 keys (never driver-checked) --
+    "agg_weighted_percentile", "join_interval_self_overlap",
+    "sample_importance_reweight", "embeddings_pca_power",
+    # -- group 0b: r7-changed code --
     #    ADVICE r6: overflow-safe pre-reduced Knuth hash, both sides
     #    (functions/hashing.py — 7 keys):
     "sample_class_balanced", "sample_hash_mod", "sample_stratified",
@@ -75,13 +78,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "set_union_distinct", "timeseries_gap_fill",
     "tpch_q16_supplier_cnt", "udaf_geomean", "udf_grouped_zscore",
     "udf_scalar_python", "udtf_surface", "unpivot_metrics",
-    # -- group 2: 9 r3-stale refresh slots, spread across modules
-    #    (scalar edge cases, multimodal, the O(n²)-by-spec sweep,
-    #    eval-set decontamination, simhash) --
+    # -- group 2: 5 r3-stale refresh slots, spread across modules
+    #    (scalar edge cases, multimodal, the O(n²)-by-spec sweep;
+    #    the rest of the r3 cohort rotates in r8) --
     "array_hof", "scalar_bitwise", "scalar_try_cast",
-    "multimodal_binary_stats", "multimodal_frame_sample",
-    "multimodal_join", "sim_pairs_threshold", "text_decontaminate",
-    "dedup_simhash",
+    "multimodal_binary_stats", "sim_pairs_threshold",
 ]
 
 

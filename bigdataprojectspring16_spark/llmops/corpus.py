@@ -936,3 +936,85 @@ def docs_fold_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             contaminated.cast("double") / F.count(F.lit(1)), 6
         ).alias("contamination_rate"),
     )
+
+
+def _pca_round_sql(r: int) -> str:
+    """One unrolled power-iteration round as DuckDB CTEs, with the
+    per-vector projection QUANTIZED to 6 decimals at the round
+    boundary (the `kmeans_lloyd_rounds` / `graph_pagerank_rounds`
+    discipline: the two float sums per round are the only
+    order-dependent values, and quantizing them re-synchronizes the
+    distributed execution with the serial oracle)."""
+    return f"""
+    s{r} AS (
+        SELECT vec_id, round(sum(val * v), 6) AS s
+        FROM m JOIN v{r - 1} USING (dim) GROUP BY vec_id
+    ),
+    w{r} AS (
+        SELECT dim, sum(val * s) AS w FROM m JOIN s{r} USING (vec_id)
+        GROUP BY dim
+    ),
+    n{r} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{r}),
+    v{r} AS (SELECT dim, round(w / nrm, 6) AS v FROM w{r}, n{r})"""
+
+
+_PCA_ORACLE = f"""
+    WITH m AS (
+        SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS val
+        FROM embeddings,
+             unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    v0 AS (SELECT DISTINCT dim, 0.125 AS v FROM m),{_pca_round_sql(1)},{_pca_round_sql(2)},{_pca_round_sql(3)}
+    SELECT dim, v AS loading FROM v3 ORDER BY dim
+"""
+
+
+@query("embeddings_pca_power", oracle=_PCA_ORACLE)
+def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by THREE
+    unrolled power-iteration rounds (r7, SURVEY §2.K): the embedding
+    QA step after `embeddings_dim_stats`/`embeddings_whiten_qa` —
+    a corpus whose first component eats most of the variance has
+    collapsed (anisotropic) embeddings, and the loadings say which
+    dimensions carry it.
+
+    Distributed matrix-vector product as DataFrame algebra: the
+    matrix is the narrow (vec_id, dim, val) explosion of the
+    embedding column (re-evaluated per use — scan + narrow map, the
+    barrier rule says don't checkpoint it); each round broadcasts
+    the 64-row direction vector into a dim-keyed join for the
+    per-vector projections (vec-keyed two-phase agg), then a
+    vec-keyed equi-join + dim-keyed agg for the back-projection —
+    at 100 TB both joins are keyed shuffles whose width is the
+    embedding table, never |vecs|². The start vector is the exact
+    binary 1/8 on every dim; projections and loadings are quantized
+    to 6 decimals at each round boundary so the serial oracle and
+    the distributed plan walk the identical sequence (residual
+    half-boundary risk is the documented PageRank class,
+    SCALING.md §MONEY residuals). sqrt and IEEE multiply/divide are
+    correctly rounded — no libm-divergence surface (ADVICE r6 #1).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    m = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    v = m.select("dim").distinct().select("dim", F.lit(0.125).alias("v"))
+    for _ in range(3):
+        s = (
+            m.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.round(F.sum(F.col("val") * F.col("v")), 6).alias("s"))
+        )
+        w = (
+            m.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "dim", F.round(F.col("w") / F.col("nrm"), 6).alias("v")
+        )
+    return v.select("dim", F.col("v").alias("loading")).orderBy("dim")

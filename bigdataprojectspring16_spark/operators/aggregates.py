@@ -727,3 +727,80 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", F.col("o_orderdate"))
         ).alias("n_months"),
     )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH b AS (
+        -- value-bucket pre-aggregation: weight per distinct price
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, price_c, w,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM b
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 4 * cw >= tw THEN price_c END) AS DOUBLE)
+               / 100.0 AS w_p25,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN price_c END) AS DOUBLE)
+               / 100.0 AS w_p50,
+           CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN price_c END) AS DOUBLE)
+               / 100.0 AS w_p75,
+           CAST(max(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED percentiles (p25/p50/p75 of l_extendedprice
+    weighted by l_quantity, per return flag) — the reweighted-corpus
+    statistic (`sample_importance_reweight` produces such weights)
+    that Spark has no built-in for (`percentile_approx` is unweighted
+    and approximate; r7, SURVEY §2.D).
+
+    Scale shape: a row-level cumulative window would serialize each
+    group through one task, so the cumsum runs over the VALUE-BUCKET
+    pre-aggregation instead — weight summed per (group, distinct
+    cent price) first (two-phase hash agg; bucket count is bounded
+    by price cardinality, not row count), then one group-keyed
+    ordered window over bucket-level rows and a threshold pick. The
+    crossing inequality `k * cumw >= m * total` is pure integer
+    arithmetic (quantities are integral, prices on the cent grid),
+    so the selected bucket — and therefore the output value — is
+    engine-identical with no float comparison anywhere; bucket-level
+    and row-level forms select the same value because every row of a
+    tied value shares its bucket.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        li.groupBy(
+            "l_returnflag",
+            money.cents(F.col("l_extendedprice")).alias("price_c"),
+        )
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("w"))
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("price_c")
+    c = b.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    pick = lambda k, m: (
+        F.min(F.when(k * F.col("cw") >= m * F.col("tw"), F.col("price_c")))
+        .cast("double") / 100.0
+    )
+    return c.groupBy("l_returnflag").agg(
+        pick(4, 1).alias("w_p25"),
+        pick(2, 1).alias("w_p50"),
+        pick(4, 3).alias("w_p75"),
+        F.max("tw").alias("total_weight"),
+    )

@@ -708,3 +708,86 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         nearest.alias("nearest_click_ts"),
     )
+
+
+@query(
+    "join_interval_self_overlap",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderkey, o_custkey, o_orderdate AS s,
+               o_orderdate + INTERVAL 30 DAY AS e
+        FROM orders
+    ),
+    pairs AS (
+        SELECT a.o_custkey,
+               date_diff('day', greatest(a.s, b.s), least(a.e, b.e))
+                   AS overlap_days
+        FROM w a JOIN w b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND a.s < b.e AND b.s < a.e
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_overlap_pairs,
+           CAST(sum(overlap_days) AS BIGINT) AS sum_overlap_days,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM pairs JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_interval_self_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP self-join (r7, SURVEY §2.C): orders of the
+    same customer whose 30-day fulfillment windows overlap in time —
+    the "concurrent open orders" pair census, per market segment.
+    Distinct semantics from the existing temporal joins: range/asof
+    match a POINT into an interval or order; this matches interval
+    AGAINST interval (`a.s < b.e AND b.s < a.e`), the temporal-join
+    flavor Spark has no operator for.
+
+    Scale shape: the overlap predicate alone is quadratic, so the
+    join is EQUI-KEYED on the customer first — per-key fan-out is
+    orders-per-customer² (the `orders_market_basket` bound), never
+    corpus² — with the overlap inequality and the `a < b` unordered-
+    pair tiebreak as residual filters on the hash-join output. The
+    segment lookup is one customer-keyed equi-join; overlap length in
+    whole days is exact integer arithmetic on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("e"),
+    )
+    a = w.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = w.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    overlap_days = F.datediff(
+        F.least("e_a", "e_b"), F.greatest("s_a", "s_b")
+    ).cast("long")
+    pairs = (
+        a.join(b, "custkey")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+        )
+        .select("custkey", overlap_days.alias("overlap_days"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return pairs.join(c, "custkey").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_overlap_pairs"),
+        F.sum("overlap_days").alias("sum_overlap_days"),
+        F.count_distinct(F.col("custkey")).alias("n_customers"),
+    )

@@ -329,3 +329,97 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "sample_importance_reweight",
+    oracle="""
+    WITH g AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    t AS (
+        SELECT g.lang, g.n_docs,
+               CAST(sum(g.n_docs) OVER () AS BIGINT) AS n_total,
+               CAST(CASE g.lang WHEN 'en' THEN 0.35 WHEN 'de' THEN 0.20
+                                WHEN 'es' THEN 0.20 WHEN 'fr' THEN 0.15
+                                ELSE 0.10 END AS DOUBLE) AS target_share
+        FROM g
+    ),
+    w AS (
+        SELECT lang, n_docs,
+               round(CAST(n_docs AS DOUBLE) / n_total, 6) AS actual_share,
+               target_share,
+               target_share * n_total / n_docs AS wt
+        FROM t
+    )
+    SELECT lang, n_docs, actual_share, target_share,
+           round(wt, 6) AS weight,
+           round(sum(n_docs * wt) OVER () * sum(n_docs * wt) OVER ()
+                 / (sum(n_docs * wt * wt) OVER ()
+                    * sum(n_docs) OVER ()), 6) AS ess_share
+    FROM w ORDER BY lang
+    """,
+)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus importance reweighting toward a declared target language
+    mix (r7, SURVEY §2.A): per-language weight = target_share /
+    actual_share, plus the effective-sample-size share
+    ESS/n = (Σ n_l·w_l)² / (Σ n_l·w_l² · Σ n_l) — the number that says
+    how much of the corpus the reweighted estimator effectively keeps
+    (1.0 = no reweighting; small = the mix correction is being paid
+    for in variance). The census a training-mix pipeline runs BEFORE
+    committing to a target mix (`sample_temperature` reshapes by a
+    power law; this hits an explicit target).
+
+    One scan → language-keyed count (two-phase agg) → all shares,
+    weights and the ESS derived on the |langs|-row aggregate via
+    windows over the tiny frame. Every output is a fixed IEEE
+    expression over exact integer counts, so both engines produce
+    identical doubles; applying the weights to rows would be one
+    broadcast join of the |langs|-row weight map.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    target = (
+        F.when(F.col("lang") == "en", 0.35)
+        .when(F.col("lang") == "de", 0.20)
+        .when(F.col("lang") == "es", 0.20)
+        .when(F.col("lang") == "fr", 0.15)
+        .otherwise(0.10)
+    )
+    w_all = Window.partitionBy()
+    t = g.select(
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(w_all).alias("n_total"),
+        target.alias("target_share"),
+    ).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
+            "actual_share"
+        ),
+        "target_share",
+        (F.col("target_share") * F.col("n_total") / F.col("n_docs")).alias("wt"),
+    )
+    return (
+        t.select(
+            "lang",
+            "n_docs",
+            "actual_share",
+            "target_share",
+            F.round("wt", 6).alias("weight"),
+            F.round(
+                F.sum(F.col("n_docs") * F.col("wt")).over(w_all)
+                * F.sum(F.col("n_docs") * F.col("wt")).over(w_all)
+                / (
+                    F.sum(F.col("n_docs") * F.col("wt") * F.col("wt")).over(w_all)
+                    * F.sum("n_docs").over(w_all)
+                ),
+                6,
+            ).alias("ess_share"),
+        )
+        .orderBy("lang")
+    )
