@@ -69,6 +69,13 @@ HEADLINE = [
     # regression anchor (BASELINE.md r7 section).
     "join_asof_nearest",
     "sample_class_balanced",
+    # NEW r7 operators (anchored in BASELINE.md r7 section): exact
+    # weighted percentiles, the interval-overlap join, the
+    # importance-reweight census, and the PCA power iteration.
+    "agg_weighted_percentile",
+    "join_interval_self_overlap",
+    "sample_importance_reweight",
+    "embeddings_pca_power",
 ]
 
 #: r5 addition: the TPC-H completion set (operators/tpch.py) — the 12

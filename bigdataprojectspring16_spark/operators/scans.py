@@ -337,27 +337,28 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
     ),
-    t AS (
-        SELECT g.lang, g.n_docs,
-               CAST(sum(g.n_docs) OVER () AS BIGINT) AS n_total,
-               CAST(CASE g.lang WHEN 'en' THEN 0.35 WHEN 'de' THEN 0.20
-                                WHEN 'es' THEN 0.20 WHEN 'fr' THEN 0.15
-                                ELSE 0.10 END AS DOUBLE) AS target_share
-        FROM g
-    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM g),
     w AS (
-        SELECT lang, n_docs,
+        SELECT lang, n_docs, n_total,
                round(CAST(n_docs AS DOUBLE) / n_total, 6) AS actual_share,
                target_share,
                target_share * n_total / n_docs AS wt
-        FROM t
+        FROM (
+            SELECT g.lang, g.n_docs, tot.n_total,
+                   CAST(CASE g.lang WHEN 'en' THEN 0.35 WHEN 'de' THEN 0.20
+                                    WHEN 'es' THEN 0.20 WHEN 'fr' THEN 0.15
+                                    ELSE 0.10 END AS DOUBLE) AS target_share
+            FROM g CROSS JOIN tot
+        )
+    ),
+    m AS (
+        SELECT sum(n_docs * wt) AS m1, sum(n_docs * wt * wt) AS m2
+        FROM w
     )
     SELECT lang, n_docs, actual_share, target_share,
            round(wt, 6) AS weight,
-           round(sum(n_docs * wt) OVER () * sum(n_docs * wt) OVER ()
-                 / (sum(n_docs * wt * wt) OVER ()
-                    * sum(n_docs) OVER ()), 6) AS ess_share
-    FROM w ORDER BY lang
+           round(m1 * m1 / (m2 * n_total), 6) AS ess_share
+    FROM w CROSS JOIN m ORDER BY lang
     """,
 )
 def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,16 +373,16 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     power law; this hits an explicit target).
 
     One scan → language-keyed count (two-phase agg) → all shares,
-    weights and the ESS derived on the |langs|-row aggregate via
-    windows over the tiny frame. Every output is a fixed IEEE
-    expression over exact integer counts, so both engines produce
-    identical doubles; applying the weights to rows would be one
-    broadcast join of the |langs|-row weight map.
+    weights and the ESS derived through 1-ROW TOTALS BROADCASTS over
+    the |langs|-row aggregate (the house convention — never an
+    unpartitioned window, even on a tiny frame). Every output is a
+    fixed IEEE expression over exact integer counts, so both engines
+    produce identical doubles; applying the weights to rows would be
+    one broadcast join of the |langs|-row weight map.
     """
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = g.agg(F.sum("n_docs").alias("n_total"))
     target = (
         F.when(F.col("lang") == "en", 0.35)
         .when(F.col("lang") == "de", 0.20)
@@ -389,35 +390,30 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang") == "fr", 0.15)
         .otherwise(0.10)
     )
-    w_all = Window.partitionBy()
-    t = g.select(
+    w = g.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_docs",
-        F.sum("n_docs").over(w_all).alias("n_total"),
-        target.alias("target_share"),
-    ).select(
-        "lang",
-        "n_docs",
+        "n_total",
         F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
             "actual_share"
         ),
-        "target_share",
-        (F.col("target_share") * F.col("n_total") / F.col("n_docs")).alias("wt"),
+        target.alias("target_share"),
+        (target * F.col("n_total") / F.col("n_docs")).alias("wt"),
+    )
+    m = w.agg(
+        F.sum(F.col("n_docs") * F.col("wt")).alias("m1"),
+        F.sum(F.col("n_docs") * F.col("wt") * F.col("wt")).alias("m2"),
     )
     return (
-        t.select(
+        w.crossJoin(F.broadcast(m))
+        .select(
             "lang",
             "n_docs",
             "actual_share",
             "target_share",
             F.round("wt", 6).alias("weight"),
             F.round(
-                F.sum(F.col("n_docs") * F.col("wt")).over(w_all)
-                * F.sum(F.col("n_docs") * F.col("wt")).over(w_all)
-                / (
-                    F.sum(F.col("n_docs") * F.col("wt") * F.col("wt")).over(w_all)
-                    * F.sum("n_docs").over(w_all)
-                ),
+                F.col("m1") * F.col("m1") / (F.col("m2") * F.col("n_total")),
                 6,
             ).alias("ess_share"),
         )
