@@ -65,8 +65,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_pricing_summary",
     #    VERDICT r6 item 3: window-form star rounds (CC fixpoint):
     "graph_connected_components", "graph_cluster_keep_best",
-    #    oracle-comment change only (exp() rounding caveat):
-    "events_decayed_user_value",
+    #    §SF1 grid-rule boundary fixes (the sf1 audit caught float
+    #    money-sums flipping cents at table-scale groups; all six
+    #    now sum exact integer cents, and clean_winsorize selects
+    #    integer nearest-rank fences instead of interpolating):
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_global",
+    "join_null_safe", "clean_winsorize",
     # -- group 1: the 29 r2-stale keys (VERDICT r6 item 1's list) --
     "array_ops", "custdist_two_level_agg", "dedup_keep_best",
     "dedup_latest_by_key", "distinct_exact", "docs_curation_pipeline",
@@ -78,11 +82,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "set_union_distinct", "timeseries_gap_fill",
     "tpch_q16_supplier_cnt", "udaf_geomean", "udf_grouped_zscore",
     "udf_scalar_python", "udtf_surface", "unpivot_metrics",
-    # -- group 2: 5 r3-stale refresh slots, spread across modules
-    #    (scalar edge cases, multimodal, the O(n²)-by-spec sweep;
-    #    the rest of the r3 cohort rotates in r8) --
-    "array_hof", "scalar_bitwise", "scalar_try_cast",
-    "multimodal_binary_stats", "sim_pairs_threshold",
+    # (the r3-stale refresh slots and the comment-only
+    # events_decayed_user_value were displaced by the six §SF1
+    # grid-rule fixes above — proven-changed code outranks staleness
+    # refresh; every displaced key is green in this round's full
+    # sf0.01/sf0.1/sf1 receipt sweeps and rotates in r8)
 ]
 
 

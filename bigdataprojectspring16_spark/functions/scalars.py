@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import money
 from .money import sum_exact as _sum_exact_int
 from ..registry import query
 from ..tables import load_table
@@ -178,36 +179,56 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN o_totalprice < 250000 THEN 'mid'
              ELSE 'high' END AS price_tier,
         count(*) AS n_orders,
-        round(sum(greatest(o_totalprice, 150000)), 2) AS sum_floor150k,
-        round(sum(least(o_totalprice, 150000)), 2) AS sum_cap150k,
+        CAST(sum(greatest(CAST(round(o_totalprice * 100) AS BIGINT),
+                          15000000)) AS DOUBLE) / 100.0 AS sum_floor150k,
+        CAST(sum(least(CAST(round(o_totalprice * 100) AS BIGINT),
+                       15000000)) AS DOUBLE) / 100.0 AS sum_cap150k,
         count(nullif(o_orderstatus, 'F')) AS n_not_finished,
-        round(sum(coalesce(nullif(o_totalprice, 0.0), 0.0)), 2) AS sum_price
+        CAST(sum(coalesce(nullif(CAST(round(o_totalprice * 100) AS BIGINT),
+                                 0), 0)) AS DOUBLE) / 100.0 AS sum_price
     FROM orders
     GROUP BY 1
     """,
 )
 def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE WHEN tiering + coalesce/nullif/greatest/least."""
+    """CASE WHEN tiering + coalesce/nullif/greatest/least.
+
+    The money sums run on the exact cent grid (greatest/least/nullif
+    against integer cents): the 'high' tier sums a table-scale group
+    to ~3e11, where the float sum's accumulated error crosses the
+    half-cent — the §SF1 decade caught exactly this flip."""
     o = load_table(spark, sf_dir, "orders")
     tier = (
         F.when(F.col("o_totalprice") < 100000, "low")
         .when(F.col("o_totalprice") < 250000, "mid")
         .otherwise("high")
     )
+    price_c = money.cents(F.col("o_totalprice"))
     return o.groupBy(tier.alias("price_tier")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(F.greatest(F.col("o_totalprice"), F.lit(150000.0))), 2).alias(
-            "sum_floor150k"
-        ),
-        F.round(F.sum(F.least(F.col("o_totalprice"), F.lit(150000.0))), 2).alias(
-            "sum_cap150k"
-        ),
+        (
+            money.sum_exact(
+                F.greatest(price_c, F.lit(15000000).cast("long"))
+            ).cast("double")
+            / 100.0
+        ).alias("sum_floor150k"),
+        (
+            money.sum_exact(
+                F.least(price_c, F.lit(15000000).cast("long"))
+            ).cast("double")
+            / 100.0
+        ).alias("sum_cap150k"),
         F.count(F.nullif(F.col("o_orderstatus"), F.lit("F"))).alias(
             "n_not_finished"
         ),
-        F.round(
-            F.sum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(0.0))),
-            2,
+        (
+            money.sum_exact(
+                F.coalesce(
+                    F.nullif(price_c, F.lit(0).cast("long")),
+                    F.lit(0).cast("long"),
+                )
+            ).cast("double")
+            / 100.0
         ).alias("sum_price"),
     )
 

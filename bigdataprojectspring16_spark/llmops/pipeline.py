@@ -255,24 +255,37 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "clean_winsorize",
     oracle="""
-    WITH fences AS (
+    WITH b AS (
+        -- fence selection on the exact cent grid: weight per distinct
+        -- cent value (the agg_weighted_percentile bucket shape)
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c,
+               count(*) AS w
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, v_c, w,
+               sum(w) OVER (PARTITION BY event_type ORDER BY v_c
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY event_type) AS tw
+        FROM b
+    ),
+    fences AS (
+        -- nearest-rank-with-ties percentiles as pure integer tests:
+        -- lo = smallest value with cumw >= 0.05 n, hi = same at 0.95
         SELECT event_type,
-               quantile_cont(value, 0.05) AS lo,
-               quantile_cont(value, 0.95) AS hi
-        FROM events GROUP BY event_type
+               min(CASE WHEN 20 * cw >= tw THEN v_c END) AS lo_c,
+               min(CASE WHEN 20 * cw >= 19 * tw THEN v_c END) AS hi_c
+        FROM c GROUP BY event_type
     ),
     clipped AS (
-        -- quantize-then-sum discipline: cval is quantized to the 1e-6
-        -- output grid PER ROW (identical doubles on both engines), so
-        -- the moment sums below are exact integer arithmetic in any
-        -- accumulation order; raw value is on the fixture's 0.01 grid
-        -- already (cents)
         SELECT e.event_type,
                CAST(round(e.value * 100) AS BIGINT) AS v_c,
-               CAST(round(least(greatest(e.value, f.lo), f.hi) * 1000000)
-                    AS BIGINT) AS cval_e6,
-               CASE WHEN e.value < f.lo THEN 1 END AS is_lo,
-               CASE WHEN e.value > f.hi THEN 1 END AS is_hi
+               least(greatest(CAST(round(e.value * 100) AS BIGINT),
+                              f.lo_c), f.hi_c) AS cval_c,
+               CASE WHEN CAST(round(e.value * 100) AS BIGINT) < f.lo_c
+                    THEN 1 END AS is_lo,
+               CASE WHEN CAST(round(e.value * 100) AS BIGINT) > f.hi_c
+                    THEN 1 END AS is_hi
         FROM events e JOIN fences f USING (event_type)
     )
     SELECT event_type,
@@ -280,12 +293,12 @@ def dedup_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(is_lo) AS n_clipped_lo,
            count(is_hi) AS n_clipped_hi,
            round(CAST(sum(v_c) AS DOUBLE) / 100.0 / count(*), 6) AS mean_raw,
-           round(CAST(sum(cval_e6) AS DOUBLE) / 1e6 / count(*), 6)
+           round(CAST(sum(cval_c) AS DOUBLE) / 100.0 / count(*), 6)
                AS mean_winsor,
-           round(sqrt((CAST(sum(cval_e6 * cval_e6) AS DOUBLE)
-                       - CAST(sum(cval_e6) AS DOUBLE)
-                         * CAST(sum(cval_e6) AS DOUBLE) / count(*))
-                      / (count(*) - 1)) / 1e6, 6) AS sd_winsor
+           round(sqrt((CAST(sum(cval_c * cval_c) AS DOUBLE)
+                       - CAST(sum(cval_c) AS DOUBLE)
+                         * CAST(sum(cval_c) AS DOUBLE) / count(*))
+                      / (count(*) - 1)) / 100.0, 6) AS sd_winsor
     FROM clipped GROUP BY event_type
     """,
 )
@@ -297,34 +310,54 @@ def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     winsorizing keeps the row but caps its leverage, the usual choice
     for training-signal columns where row loss is worse than bias.
 
-    Exact interpolated ``percentile`` matches DuckDB
-    ``quantile_cont``; at 100 TB the drop-in is ``approx_percentile``
-    (mergeable sketch, same call shape — the `agg_percentiles`
-    precedent).  The fences frame is one row per event type —
-    broadcast back, so the clip pass is a narrow map over the scan;
-    two shuffles total (fence agg, report agg), both keyed on
-    event_type.
+    Fences are NEAREST-RANK-WITH-TIES percentiles selected on the
+    exact cent grid by the `agg_weighted_percentile` bucket shape
+    (weight per distinct cent value → per-type cumulative window over
+    BUCKET rows → smallest value with 20·cumw ≥ k·total): the r7 sf1
+    audit caught the interpolated-percentile form flipping clip
+    COUNTS — Spark `percentile` and DuckDB `quantile_cont` interpolate
+    the same fence a last-ulp apart, and any tie group sitting exactly
+    on the fence flips wholesale (50 rows at sf1). Integer selection
+    has no such surface, every comparison below is integer-exact, and
+    the bucket cumsum is also the scale-correct plan (bounded by value
+    cardinality, not rows — no whole-type row window; at 100 TB the
+    sketch drop-in remains ``approx_percentile`` where ±ε fences are
+    acceptable).  The fences frame is one row per event type —
+    broadcast back, so the clip pass is a narrow map over the scan.
     """
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_dir, "events")
-    fences = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+    v_c = money.cents(F.col("value"))
+    b = ev.groupBy("event_type", v_c.alias("v_c")).agg(
+        F.count(F.lit(1)).alias("w")
     )
-    cval = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
-    # quantize-then-sum (money-grid discipline): cval quantizes to the
-    # 1e-6 output grid per row, so the moment sums are exact integers
-    # in any accumulation order — a float avg/stddev pair can drift
-    # with partition order and flip the rounded 6th decimal
+    win = W.partitionBy("event_type").orderBy("v_c")
+    c = b.select(
+        "event_type",
+        "v_c",
+        F.sum("w").over(win.rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(W.partitionBy("event_type")).alias("tw"),
+    )
+    fences = c.groupBy("event_type").agg(
+        F.min(F.when(20 * F.col("cw") >= F.col("tw"), F.col("v_c"))).alias(
+            "lo_c"
+        ),
+        F.min(
+            F.when(20 * F.col("cw") >= 19 * F.col("tw"), F.col("v_c"))
+        ).alias("hi_c"),
+    )
+    cval_c = F.least(F.greatest(v_c, F.col("lo_c")), F.col("hi_c"))
     clipped = ev.join(F.broadcast(fences), "event_type").select(
         "event_type",
-        money.cents(F.col("value")).alias("v_c"),
-        F.round(cval * 1000000, 0).cast("long").alias("cval_e6"),
-        F.when(F.col("value") < F.col("lo"), 1).alias("is_lo"),
-        F.when(F.col("value") > F.col("hi"), 1).alias("is_hi"),
+        v_c.alias("v_c"),
+        cval_c.alias("cval_c"),
+        F.when(v_c < F.col("lo_c"), 1).alias("is_lo"),
+        F.when(v_c > F.col("hi_c"), 1).alias("is_hi"),
     )
     n = F.count(F.lit(1))
-    s1 = money.sum_exact(F.col("cval_e6")).cast("double")
-    s2 = money.sum_exact(F.col("cval_e6") * F.col("cval_e6")).cast("double")
+    s1 = money.sum_exact(F.col("cval_c")).cast("double")
+    s2 = money.sum_exact(F.col("cval_c") * F.col("cval_c")).cast("double")
     return clipped.groupBy("event_type").agg(
         n.alias("n"),
         F.count("is_lo").alias("n_clipped_lo"),
@@ -332,9 +365,9 @@ def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             money.sum_exact(F.col("v_c")).cast("double") / 100.0 / n, 6
         ).alias("mean_raw"),
-        F.round(s1 / 1e6 / n, 6).alias("mean_winsor"),
+        F.round(s1 / 100.0 / n, 6).alias("mean_winsor"),
         F.round(
-            F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / 1e6, 6
+            F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100.0, 6
         ).alias("sd_winsor"),
     )
 

@@ -118,26 +118,43 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         count(*) AS n_rows,
-        round(sum(l_extendedprice), 2) AS sum_price,
-        round(avg(l_extendedprice), 6) AS avg_price,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_price,
+        round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS DOUBLE) / 100.0 / count(*), 6) AS avg_price,
         round(min(l_extendedprice), 2) AS min_price,
         round(max(l_extendedprice), 2) AS max_price,
         round(stddev_samp(l_extendedprice), 4) AS std_price,
-        round(sum(l_quantity), 2) AS sum_qty
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty
     FROM lineitem
     """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ungrouped count/sum/avg/min/max/stddev over lineitem."""
+    """Ungrouped count/sum/avg/min/max/stddev over lineitem.
+
+    sum/avg of the price run on the exact cent grid: a GLOBAL money
+    sum is the largest group there is — the same shape the §SF1
+    decade flipped in agg_rollup's grand-total row — so it gets the
+    exact integer sum rather than the grid rule (which only holds
+    while n·ulp(total) < half a cent). stddev stays the float
+    aggregate (4-dp display, ~1e-9 relative drift — documented
+    residual class); quantity is integral so its sum is exact as a
+    plain long sum rendered as double.
+    """
     li = load_table(spark, sf_dir, "lineitem")
+    price_c_sum = money.sum_exact(money.cents(F.col("l_extendedprice")))
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        (price_c_sum.cast("double") / 100.0).alias("sum_price"),
+        F.round(
+            price_c_sum.cast("double") / 100.0 / F.count(F.lit(1)), 6
+        ).alias("avg_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        money.sum_exact(
+            F.round(F.col("l_quantity"), 0).cast("long")
+        ).cast("double").alias("sum_qty"),
     )
 
 
@@ -194,17 +211,26 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         o_orderpriority,
         o_orderstatus,
         count(*) AS n_orders,
-        round(sum(o_totalprice), 2) AS sum_price
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count+sum by ROLLUP(o_orderpriority, o_orderstatus)."""
+    """count+sum by ROLLUP(o_orderpriority, o_orderstatus).
+
+    The price sum is an exact integer-cents sum (§SF1 finding: the
+    grand-total row sums the WHOLE table, and at sf1 the float sum's
+    accumulated error already crosses the half-cent — the grid rule
+    holds only while n·ulp(total) < 0.005)."""
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        (
+            money.sum_exact(money.cents(F.col("o_totalprice"))).cast("double")
+            / 100.0
+        ).alias("sum_price"),
     )
 
 
@@ -215,13 +241,16 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o_orderstatus,
         c_mktsegment,
         count(*) AS n_orders,
-        round(sum(o_totalprice), 2) AS sum_price
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY CUBE (o_orderstatus, c_mktsegment)
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count+sum by CUBE(o_orderstatus, c_mktsegment) after a join."""
+    """count+sum by CUBE(o_orderstatus, c_mktsegment) after a join;
+    exact integer-cents sum (grand-total rows sum the whole fact —
+    the §SF1 grid-rule boundary finding, as in agg_rollup)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
@@ -229,7 +258,12 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                money.sum_exact(
+                    money.cents(F.col("o_totalprice"))
+                ).cast("double")
+                / 100.0
+            ).alias("sum_price"),
         )
     )
 
@@ -243,14 +277,21 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
         CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
         count(*) AS n_orders,
-        round(sum(o_totalprice), 2) AS sum_price
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), ())
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets with grouping() marker columns (SQL surface)."""
+    """Explicit grouping sets with grouping() marker columns (SQL
+    surface); exact integer-cents sum on both engines — the ()
+    grouping set sums the whole table, the §SF1 grid-rule boundary
+    (Spark's SQL surface spells the cent grid as a decimal sum:
+    sum of DECIMAL(28,0) promotes to the exact decimal accumulator,
+    and CAST(x*100 + sign*0.5 AS BIGINT) is the cheap truncating
+    grid conversion — non-ANSI casts truncate toward zero)."""
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("gs_orders")
     return spark.sql(
@@ -261,7 +302,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
             count(*) AS n_orders,
-            round(sum(o_totalprice), 2) AS sum_price
+            CAST(sum(CAST(CAST(o_totalprice * 100 +
+                               signum(o_totalprice) * 0.5 AS BIGINT)
+                          AS DECIMAL(28,0))) AS DOUBLE) / 100.0 AS sum_price
         FROM gs_orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), ())

@@ -443,7 +443,9 @@ def join_skew_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT nullif(c_nationkey, 0) AS c_nk, c_acctbal
                FROM customer),
          s AS (SELECT nullif(s_nationkey, 0) AS s_nk FROM supplier)
-    SELECT c_nk, count(*) AS n_pairs, round(sum(c_acctbal), 2) AS sum_bal
+    SELECT c_nk, count(*) AS n_pairs,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_bal
     FROM c JOIN s ON c_nk IS NOT DISTINCT FROM s_nk
     GROUP BY c_nk
     """,
@@ -469,7 +471,15 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nk")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            # exact cent sum: the join fans each balance out ~|suppliers
+            # per nation| times, so per-group totals reach 1e10 at sf1
+            # and the float sum's error crossed the half-cent (§SF1)
+            (
+                money.sum_exact(money.cents(F.col("c_acctbal"))).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("sum_bal"),
         )
     )
 
