@@ -84,6 +84,9 @@ def to_spark_sql(sql: str) -> str:
 #: DataFrame form already is.
 PORTABLE_SQL_KEYS: list[str] = [
     "agg_bool_and_or",
+    "agg_weighted_percentile",
+    "clean_winsorize",
+    "sample_importance_reweight",
     "agg_corr_covar",
     "agg_cube",
     "agg_distinct_count",
