@@ -50,39 +50,49 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-os.makedirs(DST, exist_ok=True)
-con = duckdb.connect()
-con.execute(
-    f"COPY (SELECT * FROM '{SRC}/documents.parquet' "
-    f"WHERE hash(doc_id) % {MOD} = 0 ORDER BY doc_id) "
-    f"TO '{DST}/documents.parquet' (FORMAT parquet)"
-)
-con.execute(
-    f"COPY (SELECT * FROM '{SRC}/embeddings.parquet' "
-    f"WHERE hash(vec_id) % {MOD} = 0 ORDER BY vec_id) "
-    f"TO '{DST}/embeddings.parquet' (FORMAT parquet)"
-)
-for t in TABLES:
-    if t in ("documents", "embeddings"):
-        continue
-    dst = f"{DST}/{t}.parquet"
-    # Recreate on every run: a stale (or dangling) symlink from a
-    # previous run with a different SAMPLE_SRC would silently mix
-    # sources into the receipt.
-    if os.path.islink(dst) or os.path.exists(dst):
-        os.remove(dst)
-    os.symlink(f"{SRC}/{t}.parquet", dst)
-n_docs = con.sql(f"SELECT count(*) FROM '{DST}/documents.parquet'").fetchone()[0]
-n_vecs = con.sql(f"SELECT count(*) FROM '{DST}/embeddings.parquet'").fetchone()[0]
-print(
-    f"sample: {n_docs} docs / {n_vecs} vecs (1-in-{MOD} hash-mod of {SRC})",
-    flush=True,
-)
 
-keys = sys.argv[1:] or ALL_PAIRS_KEYS
-env = dict(os.environ, DRIVER_SIM_SF_DIR=DST)
-sys.exit(
-    subprocess.call(
+def main() -> int:
+    # (r7: body moved under a main guard so tools/sf1_audit.py can
+    # import ALL_PAIRS_KEYS without triggering a sample build + run)
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '{SRC}/documents.parquet' "
+        f"WHERE hash(doc_id) % {MOD} = 0 ORDER BY doc_id) "
+        f"TO '{DST}/documents.parquet' (FORMAT parquet)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM '{SRC}/embeddings.parquet' "
+        f"WHERE hash(vec_id) % {MOD} = 0 ORDER BY vec_id) "
+        f"TO '{DST}/embeddings.parquet' (FORMAT parquet)"
+    )
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        dst = f"{DST}/{t}.parquet"
+        # Recreate on every run: a stale (or dangling) symlink from a
+        # previous run with a different SAMPLE_SRC would silently mix
+        # sources into the receipt.
+        if os.path.islink(dst) or os.path.exists(dst):
+            os.remove(dst)
+        os.symlink(f"{SRC}/{t}.parquet", dst)
+    n_docs = con.sql(
+        f"SELECT count(*) FROM '{DST}/documents.parquet'"
+    ).fetchone()[0]
+    n_vecs = con.sql(
+        f"SELECT count(*) FROM '{DST}/embeddings.parquet'"
+    ).fetchone()[0]
+    print(
+        f"sample: {n_docs} docs / {n_vecs} vecs (1-in-{MOD} hash-mod of {SRC})",
+        flush=True,
+    )
+
+    keys = sys.argv[1:] or ALL_PAIRS_KEYS
+    env = dict(os.environ, DRIVER_SIM_SF_DIR=DST)
+    return subprocess.call(
         [sys.executable, os.path.join(HERE, "driver_sim.py"), *keys], env=env
     )
-)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
