@@ -125,19 +125,32 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS DOUBLE) / 1000000.0, 4) AS sum_sqrt_price,
         round(avg(ln(l_extendedprice)), 6) AS avg_ln_price,
         round(avg(log10(l_extendedprice)), 6) AS avg_log10_price,
-        round(sum(CAST(ceil(l_quantity) AS DOUBLE)), 1) AS sum_ceil_qty,
-        round(sum(CAST(floor(l_quantity) AS DOUBLE)), 1) AS sum_floor_qty,
-        round(sum(abs(l_discount - 0.05)), 6) AS sum_abs_disc_dev,
+        round(CAST(sum(CAST(ceil(l_quantity) AS BIGINT)) AS DOUBLE), 1)
+            AS sum_ceil_qty,
+        round(CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE), 1)
+            AS sum_floor_qty,
+        -- exact 1e-2 units: l_discount sits on the 0.01 grid, so
+        -- |pct - 5| is an exact small integer per row (§MONEY r8)
+        round(CAST(sum(abs(CAST(round(l_discount * 100) AS BIGINT) - 5))
+                   AS DOUBLE) / 100.0, 6) AS sum_abs_disc_dev,
         round(avg(CAST(sign(l_discount - 0.05) AS DOUBLE)), 6) AS avg_sign_disc,
         round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq,
         count(CASE WHEN l_orderkey % 7 = 0 THEN 1 END) AS n_mod7,
-        round(sum(round(l_extendedprice, 0)), 1) AS sum_rounded_price
+        round(CAST(sum(CAST(round(l_extendedprice, 0) AS BIGINT)) AS DOUBLE),
+              1) AS sum_rounded_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """round/abs/ceil/floor/sqrt/pow/ln/log10/sign/pmod over prices."""
+    """round/abs/ceil/floor/sqrt/pow/ln/log10/sign/pmod over prices.
+
+    §MONEY r8: the integral sums (ceil/floor quantity, rounded price)
+    and the 2-dp-grid deviation sum run as exact integer aggregates —
+    a float sum of integers only holds to 2^53, and the per-flag
+    groups are fact-table-scale. sum_disc_sq / the ln-log averages
+    stay in the documented sub-1e-7 residual class (SCALING §MONEY).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(
@@ -149,15 +162,21 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_sqrt_price"),
         F.round(F.avg(F.log("l_extendedprice")), 6).alias("avg_ln_price"),
         F.round(F.avg(F.log10("l_extendedprice")), 6).alias("avg_log10_price"),
-        F.round(F.sum(F.ceil("l_quantity").cast("double")), 1).alias(
-            "sum_ceil_qty"
-        ),
-        F.round(F.sum(F.floor("l_quantity").cast("double")), 1).alias(
-            "sum_floor_qty"
-        ),
-        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 6).alias(
-            "sum_abs_disc_dev"
-        ),
+        F.round(
+            _sum_exact_int(F.ceil("l_quantity")).cast("double"), 1
+        ).alias("sum_ceil_qty"),
+        F.round(
+            _sum_exact_int(F.floor("l_quantity")).cast("double"), 1
+        ).alias("sum_floor_qty"),
+        # exact 1e-2 units (§MONEY r8): the per-flag deviation sum is
+        # fact-table-scale; |pct - 5| is an exact integer per row
+        F.round(
+            _sum_exact_int(
+                F.abs(money.pct(F.col("l_discount")) - F.lit(5))
+            ).cast("double")
+            / 100.0,
+            6,
+        ).alias("sum_abs_disc_dev"),
         F.round(
             F.avg(F.signum(F.col("l_discount") - 0.05).cast("double")), 6
         ).alias("avg_sign_disc"),
@@ -165,9 +184,12 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.pmod(F.col("l_orderkey"), F.lit(7)) == 0, 1)).alias(
             "n_mod7"
         ),
-        F.round(F.sum(F.round(F.col("l_extendedprice"), 0)), 1).alias(
-            "sum_rounded_price"
-        ),
+        F.round(
+            _sum_exact_int(
+                F.round(F.col("l_extendedprice"), 0).cast("long")
+            ).cast("double"),
+            1,
+        ).alias("sum_rounded_price"),
     )
 
 
@@ -364,7 +386,8 @@ def map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         count(*) AS n_events,
-        round(sum(value), 6) AS sum_value
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -374,7 +397,8 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Uses schema-typed ``from_json`` (the scalable path — one parse,
     typed column); ``get_json_object`` parity is covered in unit
-    tests.
+    tests. The per-k value sum grows with event rate, so it runs on
+    exact integer cents (§MONEY r8; events.value is 2-dp grid).
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -385,7 +409,10 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            (
+                _sum_exact_int(money.cents(F.col("value")))
+                .cast("double") / 100.0
+            ).alias("sum_value"),
         )
     )
 
@@ -479,8 +506,10 @@ def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             c_mktsegment,
             CAST(count(*) AS DOUBLE) AS n_orders,
-            round(sum(o_totalprice), 2) AS sum_price,
-            round(avg(o_totalprice), 2) AS avg_price
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS sum_price,
+            round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / 100.0 / count(*), 2) AS avg_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     )
@@ -494,16 +523,22 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pivot_event_types``. ``DataFrame.unpivot`` is a narrow
     expression-level expansion (each row emits 3), so it adds no
     shuffle beyond the aggregation that built the wide frame.
+    Segment-level money sums are fact-table-scale: exact integer
+    cents, with the average derived from the same exact total
+    (§MONEY r8).
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    price_c = _sum_exact_int(money.cents(F.col("o_totalprice")))
     wide = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            (price_c.cast("double") / 100.0).alias("sum_price"),
+            F.round(
+                price_c.cast("double") / 100.0 / F.count(F.lit(1)), 2
+            ).alias("avg_price"),
         )
     )
     return wide.unpivot(

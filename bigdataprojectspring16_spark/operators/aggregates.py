@@ -318,18 +318,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         n_name,
         count(*) AS n_orders,
-        round(sum(o_totalprice), 2) AS revenue
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n_name
-    HAVING round(sum(o_totalprice), 2) > 5000000
+    HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 500000000
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group filter: nations whose 1996 order revenue exceeds 5M."""
+    """Group filter: nations whose 1996 order revenue exceeds 5M.
+
+    Nation-year groups scale with the fact table, and the HAVING
+    predicate compares against the aggregate — the doubly fragile
+    class (§MONEY r8) — so the revenue sum and its threshold run on
+    exact integer cents; only the display divides back to dollars.
+    """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -343,9 +350,16 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money.sum_exact(money.cents(F.col("o_totalprice"))).alias(
+                "_rev_c"
+            ),
         )
-        .where(F.col("revenue") > 5000000)
+        .where(F.col("_rev_c") > 500000000)
+        .select(
+            "n_name",
+            "n_orders",
+            (F.col("_rev_c").cast("double") / 100.0).alias("revenue"),
+        )
     )
 
 

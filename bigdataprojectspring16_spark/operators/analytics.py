@@ -554,14 +554,17 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH yearly AS (
         SELECT n_name, year(o_orderdate) AS yr,
-               round(sum(o_totalprice), 2) AS rev
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name, yr
     )
-    SELECT n_name, yr, rev,
-           round(rev / lag(rev) OVER (PARTITION BY n_name ORDER BY yr) - 1, 6)
+    SELECT n_name, yr,
+           CAST(rev_c AS DOUBLE) / 100.0 AS rev,
+           round(CAST(rev_c AS DOUBLE)
+                 / CAST(lag(rev_c) OVER (PARTITION BY n_name ORDER BY yr)
+                        AS DOUBLE) - 1, 6)
                AS yoy_growth
     FROM yearly
     """,
@@ -574,6 +577,11 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, so its sort is trivial at any fact scale (the anti-pattern
     is windowing the raw fact). First year per nation keeps a NULL
     growth (no prior period), matching SQL lag semantics.
+
+    §MONEY r8: nation-year money sums grow with the fact table, so
+    they run on exact integer cents; the growth ratio divides two
+    exact integers (one IEEE division, identical on both engines)
+    before the display round.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -582,14 +590,23 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("yr"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(
+            money.sum_exact(money.cents(F.col("o_totalprice"))).alias(
+                "_rev_c"
+            )
+        )
     )
     w = Window.partitionBy("n_name").orderBy("yr")
     return yearly.select(
         "n_name",
         "yr",
-        "rev",
-        F.round(F.col("rev") / F.lag("rev").over(w) - 1, 6).alias("yoy_growth"),
+        (F.col("_rev_c").cast("double") / 100.0).alias("rev"),
+        F.round(
+            F.col("_rev_c").cast("double")
+            / F.lag("_rev_c").over(w).cast("double")
+            - 1,
+            6,
+        ).alias("yoy_growth"),
     )
 
 
@@ -1081,13 +1098,17 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_idle_customers",
     oracle="""
     WITH cutoff AS (
-        SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+        SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_c,
+               count(*) AS n_pos
+        FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_nationkey,
            count(*) AS numcust,
-           round(sum(c.c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS totacctbal
     FROM customer c CROSS JOIN cutoff
-    WHERE c.c_acctbal > cutoff.avg_bal
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * cutoff.n_pos
+              > cutoff.bal_c
       AND NOT EXISTS (
           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
       )
@@ -1104,20 +1125,34 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shuffle); the NOT EXISTS is a LEFT ANTI join keyed on the
     customer key. Two exchanges total: the anti join and the final
     nation rollup.
+
+    §MONEY r8: the above-average predicate is a comparison against a
+    float-aggregate-derived value — the fragile class at any grid —
+    so it runs as the exact integer cross-multiplication
+    ``cents(bal) * n_pos > sum_cents`` (the q11 cutoff shape), and
+    the per-nation balance total sums exact integer cents.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     cutoff = c.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        money.sum_exact(money.cents(F.col("c_acctbal"))).alias("bal_c"),
+        F.count(F.lit(1)).alias("n_pos"),
     )
     return (
         c.crossJoin(F.broadcast(cutoff))
-        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .where(
+            money.cents(F.col("c_acctbal")).cast("decimal(38,0)")
+            * F.col("n_pos")
+            > F.col("bal_c")
+        )
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            (
+                money.sum_exact(money.cents(F.col("c_acctbal")))
+                .cast("double") / 100.0
+            ).alias("totacctbal"),
         )
     )
 

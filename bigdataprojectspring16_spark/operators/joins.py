@@ -39,13 +39,19 @@ from ..tables import load_table, ts_seconds
     SELECT
         c_mktsegment,
         count(*) AS n_orders,
-        round(sum(o_totalprice), 2) AS sum_price
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
 )
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders ⋈ customer on custkey, grouped by market segment."""
+    """orders ⋈ customer on custkey, grouped by market segment.
+
+    5 segment groups each sum a fact-table-scale slice, so the money
+    sum runs on exact integer cents (§MONEY r8: the grid rule is
+    magnitude-bounded and this group grows unboundedly with sf).
+    """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
@@ -53,7 +59,10 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                money.sum_exact(money.cents(F.col("o_totalprice")))
+                .cast("double") / 100.0
+            ).alias("sum_price"),
         )
     )
 
@@ -113,7 +122,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey AS custkey, count(*) AS n_orders
         FROM orders
         GROUP BY o_custkey
-        HAVING round(sum(o_totalprice), 2) > 1500000
+        HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 150000000
     ),
     event_users AS (
         SELECT user_id AS custkey, count(*) AS n_events
@@ -133,6 +142,9 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Big-spending customers FULL JOIN event-active users: events cover
     only the first 10% of customer keys (SURVEY §1.3), the spend
     filter keeps a different subset — both sides get null-extended.
+    The spend threshold compares EXACT integer cents (§MONEY r8): a
+    comparison against a float-aggregate value is the fragile class
+    regardless of grid, and per-customer totals grow with order rate.
     """
     o = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
@@ -140,10 +152,12 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            money.sum_exact(money.cents(F.col("o_totalprice"))).alias(
+                "spend_c"
+            ),
         )
-        .where(F.col("spend") > 1500000)
-        .drop("spend")
+        .where(F.col("spend_c") > 150000000)
+        .drop("spend_c")
     )
     eu = ev.groupBy(F.col("user_id").alias("custkey")).agg(
         F.count(F.lit(1)).alias("n_events")
@@ -235,14 +249,19 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         p_brand,
         count(*) AS n_lines,
-        round(sum(l_extendedprice), 2) AS sum_price
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_price
     FROM lineitem JOIN part
       ON l_partkey = p_partkey AND l_quantity > p_size
     GROUP BY p_brand
     """,
 )
 def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi key + theta residual — stays a hash join with post-filter."""
+    """Equi key + theta residual — stays a hash join with post-filter.
+
+    Brand-level money sums over a fact fan-out grow unboundedly, so
+    the sum runs on exact integer cents (§MONEY r8).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     cond = (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size)
@@ -251,7 +270,10 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            (
+                money.sum_exact(money.cents(F.col("l_extendedprice")))
+                .cast("double") / 100.0
+            ).alias("sum_price"),
         )
     )
 
@@ -401,7 +423,8 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         n_name,
         count(*) AS n_events,
-        round(sum(value), 4) AS sum_value,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_value,
         count(DISTINCT user_id) AS n_users
     FROM events
     JOIN customer ON user_id = c_custkey
@@ -419,6 +442,12 @@ def join_skew_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE/statistics), and AQE's OptimizeSkewedJoin (enabled in the
     session factory) splits oversized partitions at runtime when the
     fact side shuffles on a real cluster.
+
+    The per-nation value sum is time-window-unbounded (grows with
+    event rate), so it runs on exact integer cents (§MONEY r8);
+    events.value sits on the 2-dp grid (tests/test_money_grid.py),
+    making cents exact and the 2-dp display identical to the old
+    4-dp round of the float sum.
     """
     ev = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
@@ -431,7 +460,10 @@ def join_skew_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (
+                money.sum_exact(money.cents(F.col("value")))
+                .cast("double") / 100.0
+            ).alias("sum_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..functions.hashing import knuth_hash, knuth_hash_sql
 from ..registry import query
 from ..tables import load_table
@@ -60,7 +61,8 @@ def scan_with_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            count(*) AS n_sampled,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
     FROM s GROUP BY o_orderpriority
     """,
 )
@@ -77,7 +79,9 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the 100 TB SF, and the engines then diverge: ADVICE r6).
     The predicate is Catalyst-foldable and evaluated at the scan, so
     at 100 TB the sample costs one pass, no shuffle beyond the final
-    tiny aggregate.
+    tiny aggregate. The priority-level money sum is over a fixed-rate
+    sample of the whole fact table — unbounded group growth — so it
+    runs on exact integer cents (§MONEY r8).
     """
     o = load_table(spark, sf_dir, "orders")
     keep = knuth_hash(F.col("o_orderkey"), 97) < 5
@@ -86,7 +90,10 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                money.sum_exact(money.cents(F.col("o_totalprice")))
+                .cast("double") / 100.0
+            ).alias("sum_price"),
         )
     )
 
@@ -101,7 +108,8 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
               CASE WHEN c_mktsegment = 'BUILDING' THEN 20 ELSE 5 END
     )
     SELECT c_mktsegment, count(*) AS n_sampled,
-           round(sum(c_acctbal), 2) AS sum_bal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_bal
     FROM s GROUP BY c_mktsegment
     """,
 )
@@ -115,7 +123,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic predicate is reproducible everywhere (pre-reduced so
     the product never overflows int64 — functions/hashing.py) and
     stays a narrow scan-side filter — no shuffle until the final tiny
-    aggregate, at any scale.
+    aggregate, at any scale. Per-segment balance sums over a
+    fixed-rate sample grow with the table, so they run on exact
+    integer cents (§MONEY r8).
     """
     c = load_table(spark, sf_dir, "customer")
     rate = F.when(F.col("c_mktsegment") == "BUILDING", 20).otherwise(5)
@@ -125,7 +135,10 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            (
+                money.sum_exact(money.cents(F.col("c_acctbal")))
+                .cast("double") / 100.0
+            ).alias("sum_bal"),
         )
     )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..registry import query
 from ..tables import load_table
 
@@ -177,7 +178,9 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT c_custkey, c_nationkey, bal FROM ins
     )
-    SELECT c_nationkey, count(*) AS n_rows, round(sum(bal), 2) AS total_bal
+    SELECT c_nationkey, count(*) AS n_rows,
+           CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_bal
     FROM merged GROUP BY c_nationkey
     """,
 )
@@ -216,9 +219,15 @@ def merge_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(ins)
     )
+    # §MONEY r8: per-nation balance totals grow with the base table;
+    # the merged bal stays on the cent grid (bal+100 is exact, inserts
+    # are 0.0), so the sum runs on exact integer cents.
     return merged.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("bal"), 2).alias("total_bal"),
+        (
+            money.sum_exact(money.cents(F.col("bal")))
+            .cast("double") / 100.0
+        ).alias("total_bal"),
     )
 
 
@@ -227,8 +236,10 @@ def merge_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_price,
-           round(sum(o_totalprice) / count(*), 6) AS avg_price
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 / count(*), 6) AS avg_price
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -247,6 +258,11 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     own partial/final HashAggregate split applies the identical
     algebra within one query; this operator applies it ACROSS
     batches.)
+
+    §MONEY r8: the partials carry exact integer cents — integer
+    partial-aggregate state is also the production shape, because
+    merged float partials inherit batch-order dependence that exact
+    integers don't.
     """
     o = load_table(spark, sf_dir, "orders")
     cutoff = F.lit("1997-01-01").cast("timestamp")
@@ -254,18 +270,22 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("o_totalprice").alias("price_sum"),
+            money.sum_exact(money.cents(F.col("o_totalprice"))).alias(
+                "price_c"
+            ),
         )
 
     state = partial(o.where(F.col("o_orderdate") < cutoff))
     delta = partial(o.where(F.col("o_orderdate") >= cutoff))
     merged = state.unionByName(delta).groupBy("o_orderpriority").agg(
         F.sum("cnt").alias("n_orders"),
-        F.sum("price_sum").alias("merged_sum"),
+        F.sum("price_c").alias("merged_c"),
     )
     return merged.select(
         "o_orderpriority",
         "n_orders",
-        F.round(F.col("merged_sum"), 2).alias("sum_price"),
-        F.round(F.col("merged_sum") / F.col("n_orders"), 6).alias("avg_price"),
+        (F.col("merged_c").cast("double") / 100.0).alias("sum_price"),
+        F.round(
+            F.col("merged_c").cast("double") / 100.0 / F.col("n_orders"), 6
+        ).alias("avg_price"),
     )

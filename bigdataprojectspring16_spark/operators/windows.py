@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..registry import query
 from ..tables import load_table, ts_seconds
 
@@ -252,15 +253,18 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_share_of_total",
     oracle="""
     WITH rev AS (
-        SELECT n_name, r_name, round(sum(o_totalprice), 2) AS revenue
+        SELECT n_name, r_name,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY n_name, r_name
     )
-    SELECT n_name, r_name, revenue,
-           round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6)
+    SELECT n_name, r_name,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(rev_c AS DOUBLE)
+                 / CAST(sum(rev_c) OVER (PARTITION BY r_name) AS DOUBLE), 6)
                AS region_share
     FROM rev
     """,
@@ -275,6 +279,11 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the preceding two-phase aggregation. Partitioned by r_name —
     never an empty partition spec (the all-to-one guard in
     tests/test_plan_shapes.py applies here too).
+
+    §MONEY r8: the per-nation revenue sum is fact-table-scale, so it
+    runs on exact integer cents; the share is one IEEE division of
+    two exact integers (identical doubles on both engines) rounded
+    for display.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -285,16 +294,22 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(
+            money.sum_exact(money.cents(F.col("o_totalprice"))).alias(
+                "_rev_c"
+            )
+        )
     )
     w = Window.partitionBy("r_name")
     return rev.select(
         "n_name",
         "r_name",
-        "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
-            "region_share"
-        ),
+        (F.col("_rev_c").cast("double") / 100.0).alias("revenue"),
+        F.round(
+            F.col("_rev_c").cast("double")
+            / F.sum("_rev_c").over(w).cast("double"),
+            6,
+        ).alias("region_share"),
     )
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..registry import query
 from ..tables import load_table
 
@@ -30,19 +31,29 @@ from ..tables import load_table
         date_trunc('hour', ts) AS window_start,
         event_type,
         count(*) AS n_events,
-        round(sum(value), 6) AS sum_value
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour tumbling counts + sum(value) per event_type."""
+    """1-hour tumbling counts + sum(value) per event_type.
+
+    §MONEY r8: a (window × type) value sum grows with event rate, so
+    it runs on exact integer cents (events.value is on the 2-dp grid,
+    tests/test_money_grid.py) — the identical integer aggregation a
+    streaming state store would carry; only the display divides.
+    """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            (
+                money.sum_exact(money.cents(F.col("value")))
+                .cast("double") / 100.0
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -335,7 +346,8 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_trunc('hour', e.ts) AS window_start,
         c.c_mktsegment,
         count(*) AS n_events,
-        round(sum(e.value), 6) AS sum_value,
+        CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS sum_value,
         count(DISTINCT e.user_id) AS n_users
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
@@ -366,7 +378,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            (
+                money.sum_exact(money.cents(F.col("value")))
+                .cast("double") / 100.0
+            ).alias("sum_value"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
         )
         .select(

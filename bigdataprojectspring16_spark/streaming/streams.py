@@ -32,6 +32,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..functions import money
+
 #: The events schema as the file stream source needs it declared
 #: up-front (streaming sources cannot infer schemas).
 EVENTS_SCHEMA = StructType(
@@ -56,13 +58,21 @@ def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """Streaming twin of ``stream_tumbling`` + watermark for append mode."""
+    """Streaming twin of ``stream_tumbling`` + watermark for append mode.
+
+    Same §MONEY discipline as the batch twin: the state store carries
+    exact integer cents (events.value is 2-dp grid), so a window's
+    total is identical no matter how micro-batches slice the input.
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            (
+                money.sum_exact(money.cents(F.col("value")))
+                .cast("double") / 100.0
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -140,7 +140,14 @@ def test_streaming_tumbling_equals_batch_twin(spark):
                 batch_df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
                 .agg(
                     F.count(F.lit(1)).alias("n_events"),
-                    F.round(F.sum("value"), 6).alias("sum_value"),
+                    (
+                        F.sum(
+                            (F.col("value") * 100 + F.signum("value") * 0.5)
+                            .cast("long")
+                            .cast("decimal(28,0)")
+                        ).cast("double")
+                        / 100.0
+                    ).alias("sum_value"),
                 )
                 .select(
                     F.col("w.start").alias("window_start"),
