@@ -209,10 +209,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     partition (r7, CC_STAR_IMPL): every input row needs (src, dst, m)
     together, and a window delivers m in the SAME single shuffle that
     groups the rows, where the r3-r6 groupBy+join form shuffled the
-    frame twice (once to aggregate, once to join m back). Per-key
-    skew is identical to the groupBy's (same key), and the frame is
-    min-only so Spark evaluates it as a running aggregate, not a
-    buffered sort-window.
+    frame twice (once to aggregate, once to join m back). The
+    entire-partition frame is executed by WindowExec with a
+    buffered, SPILLABLE per-key row array (ADVICE r7: an unbounded
+    frame is not a running aggregate), so a hub node's neighborhood
+    is materialized in one task's window buffer — the same
+    memory/skew exposure as the join form, which shuffles the full
+    frame on the same key; the win is the saved second shuffle
+    (measured −14.7% wall, jobs 75→55: receipts/cc_star_ab_r07.txt).
     """
     nbr = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -21,9 +21,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import money
+from ..functions.hashing import knuth_hash, knuth_hash_sql
 from ..registry import query
 from ..tables import load_table
 from .similarity import dot
+
+#: Split bucket of a component id — the shared engine-portable hash
+#: (functions/hashing.py: overflow-safe AND high-bits-mixed, r8).
+H100 = knuth_hash_sql("c.comp_id", 100)
 
 
 @query(
@@ -862,7 +867,7 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_leakage_safe_split",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE t AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
         FROM documents
@@ -885,10 +890,8 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     assigned AS (
         SELECT d.lang, c.comp_id,
-               CASE WHEN ((c.comp_id % 100003) * 2654435761) % 100 < 80
-                    THEN 'train'
-                    WHEN ((c.comp_id % 100003) * 2654435761) % 100 < 90
-                    THEN 'val'
+               CASE WHEN {H100} < 80 THEN 'train'
+                    WHEN {H100} < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM comp c JOIN documents d ON d.doc_id = c.doc_id
     )
@@ -908,19 +911,19 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition of shipped machinery: the linear prefix-filter edge
     join + O(log n) star-contraction components (graph module), then
-    a deterministic multiplicative hash of the COMPONENT id
-    (Knuth 2654435761, pre-reduced mod 100003 so the product stays
-    inside int64 on any id range — DuckDB errors on BIGINT overflow
-    rather than wrapping) buckets each cluster whole.  Per-(lang,
-    split) census with cluster counts; the invariant that no
-    component straddles splits holds by construction (split is a
+    the shared deterministic key hash of the COMPONENT id
+    (functions/hashing.py: overflow-safe pre-reduction AND Fibonacci
+    high-bits range reduction, so the 80/10/10 buckets are decoupled
+    from the id residue — ADVICE r7/r8) buckets each cluster whole.
+    Per-(lang, split) census with cluster counts; the invariant that
+    no component straddles splits holds by construction (split is a
     pure function of comp_id).
     """
     from .graph import components_over_docs
 
     d = load_table(spark, sf_dir, "documents")
     comp = components_over_docs(d, 0.95)
-    bucket = ((F.col("component") % 100003) * F.lit(2654435761)) % 100
+    bucket = knuth_hash(F.col("component"), 100)
     assigned = comp.join(d.select("doc_id", "lang"), "doc_id").select(
         "lang",
         F.col("component").alias("comp_id"),

@@ -822,17 +822,23 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and approximate; r7, SURVEY §2.D).
 
     Scale shape: a row-level cumulative window would serialize each
-    group through one task, so the cumsum runs over the VALUE-BUCKET
-    pre-aggregation instead — weight summed per (group, distinct
-    cent price) first (two-phase hash agg; bucket count is bounded
-    by price cardinality, not row count), then one group-keyed
-    ordered window over bucket-level rows and a threshold pick. The
+    group through one task, and the value-bucket pre-aggregation
+    alone doesn't save it for a near-distinct-per-row value like
+    l_extendedprice (ADVICE r7: near-row-count buckets would still
+    funnel through ~|flags| window partitions). So the cumsum is
+    TWO-LEVEL (the sample_domain_cap sharded pattern, r8): buckets
+    shard by contiguous price range (`price_c >> 18`, monotone in
+    the sort key, so per-shard prefix sums compose exactly), level 1
+    cumsums WITHIN each (group, shard) — parallel across shards —
+    and level 2 adds per-shard offsets computed on the
+    |groups|×|shards|-row totals frame (broadcast back). The
     crossing inequality `k * cumw >= m * total` is pure integer
     arithmetic (quantities are integral, prices on the cent grid),
     so the selected bucket — and therefore the output value — is
     engine-identical with no float comparison anywhere; bucket-level
     and row-level forms select the same value because every row of a
-    tied value shares its bucket.
+    tied value shares its bucket. Two-level ≡ single-level is pinned
+    by tests/test_r8_operators.py.
     """
     from pyspark.sql import Window
 
@@ -843,13 +849,32 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             money.cents(F.col("l_extendedprice")).alias("price_c"),
         )
         .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("w"))
+        .withColumn("shard", F.shiftright(F.col("price_c"), 18))
     )
-    win = Window.partitionBy("l_returnflag").orderBy("price_c")
-    c = b.select(
+    lw = (
+        Window.partitionBy("l_returnflag", "shard")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.select(
+        "l_returnflag", "shard", "price_c", F.sum("w").over(lw).alias("lcw")
+    )
+    st = b.groupBy("l_returnflag", "shard").agg(F.sum("w").alias("sw"))
+    ow = Window.partitionBy("l_returnflag").orderBy("shard")
+    offs = st.select(
+        "l_returnflag",
+        "shard",
+        F.coalesce(
+            F.sum("sw").over(ow.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("off"),
+        F.sum("sw").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    c = local.join(F.broadcast(offs), ["l_returnflag", "shard"]).select(
         "l_returnflag",
         "price_c",
-        F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
-        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+        (F.col("lcw") + F.col("off")).alias("cw"),
+        "tw",
     )
     pick = lambda k, m: (
         F.min(F.when(k * F.col("cw") >= m * F.col("tw"), F.col("price_c")))

@@ -365,7 +365,8 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ),
     m AS (
-        SELECT sum(n_docs * wt) AS m1, sum(n_docs * wt * wt) AS m2
+        SELECT sum(n_docs * wt ORDER BY lang) AS m1,
+               sum(n_docs * wt * wt ORDER BY lang) AS m2
         FROM w
     )
     SELECT lang, n_docs, actual_share, target_share,
@@ -388,10 +389,16 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan → language-keyed count (two-phase agg) → all shares,
     weights and the ESS derived through 1-ROW TOTALS BROADCASTS over
     the |langs|-row aggregate (the house convention — never an
-    unpartitioned window, even on a tiny frame). Every output is a
-    fixed IEEE expression over exact integer counts, so both engines
-    produce identical doubles; applying the weights to rows would be
-    one broadcast join of the |langs|-row weight map.
+    unpartitioned window, even on a tiny frame). Per-language
+    addends are fixed IEEE expressions over exact integer counts
+    (identical doubles on both engines), and the ESS moments m1/m2
+    fold them in a PINNED lang-sorted order — a sequential
+    ``array_sort`` + ``aggregate`` here, ``sum(... ORDER BY lang)``
+    in the oracle — because an unordered float sum's accumulation
+    order is partition-dependent even on a 5-row frame (ADVICE r7;
+    the kmeans sequential-fold discipline, SCALING.md). Applying the
+    weights to rows would be one broadcast join of the |langs|-row
+    weight map.
     """
     d = load_table(spark, sf_dir, "documents")
     g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -413,9 +420,21 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_share"),
         (target * F.col("n_total") / F.col("n_docs")).alias("wt"),
     )
+    def _ordered_sum(addend):
+        """Sequential lang-ordered fold — partition-order-proof."""
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("lang"), addend.alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
     m = w.agg(
-        F.sum(F.col("n_docs") * F.col("wt")).alias("m1"),
-        F.sum(F.col("n_docs") * F.col("wt") * F.col("wt")).alias("m2"),
+        _ordered_sum(F.col("n_docs") * F.col("wt")).alias("m1"),
+        _ordered_sum(
+            F.col("n_docs") * F.col("wt") * F.col("wt")
+        ).alias("m2"),
     )
     return (
         w.crossJoin(F.broadcast(m))

@@ -276,3 +276,45 @@ def test_deterministic_ivf_topk_partition_invariance(spark):
     alt_cells = sorted((r.vec_id, r.cid) for r in assigned.collect())
     assert base_cells == alt_cells
     assert base  # non-empty top-3 output
+
+
+def test_knuth_hash_folds_decorrelated(spark):
+    """The shared key hash must not degenerate to a key-residue split
+    for small moduli (ADVICE r7: KNUTH ≡ 1 mod 5 and mod 10, so the
+    old low-order-residue reduction made fold(k, 5) == k % 5 exactly).
+    Asserts, for m ∈ {5, 10}: (a) Spark, DuckDB-SQL, and the plain-
+    Python reference agree key-for-key; (b) agreement with the raw
+    key residue is ≈ 1/m, not 1.0; (c) folds are near-uniform."""
+    import duckdb
+
+    from bigdataprojectspring16_spark.functions.hashing import (
+        KEY_MOD,
+        KNUTH,
+        M32,
+        knuth_hash,
+        knuth_hash_sql,
+    )
+
+    keys = list(range(20000))
+    for m in (5, 10):
+        ref = [(((k % KEY_MOD) * KNUTH) % M32) * m // M32 for k in keys]
+        sdf = spark.range(20000).select(
+            knuth_hash(F.col("id"), m).alias("h")
+        )
+        got_spark = [r.h for r in sdf.orderBy("id").collect()]
+        assert got_spark == ref
+        got_duck = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {knuth_hash_sql('k', m)} FROM (SELECT unnest("
+                f"range(20000)) AS k) ORDER BY k"
+            ).fetchall()
+        ]
+        assert got_duck == ref
+        same_residue = sum(h == k % m for k, h in zip(keys, ref))
+        assert same_residue / len(keys) < 2.0 / m  # old form scored 1.0
+        from collections import Counter
+
+        census = Counter(ref)
+        for fold in range(m):
+            assert abs(census[fold] / len(keys) - 1.0 / m) < 0.02
