@@ -451,3 +451,78 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (overwrite) the events table as a hive-partitioned parquet
+    layout keyed by ``event_type`` and return its path.
+
+    The scratch layout lives inside the repo (gitignored) so the
+    declared query never writes outside the sandbox; one file per
+    partition via a pre-write repartition on the partition column —
+    the small-files discipline a 100 TB partitioned write needs (a
+    32-task write of 5 partitions would emit up to 160 files here,
+    and thousands per partition on a real cluster).
+    """
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = os.path.join(root, ".tmp_partitioned", f"events_by_type_{name}")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    return path
+
+
+@query(
+    "scan_partitioned_pruned",
+    oracle="""
+    SELECT event_type,
+           date_trunc('month', ts) AS month_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_value
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY 1, 2
+    """,
+)
+def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout write + pruned read-back (VERDICT r7 item 3):
+    materialize events as a hive layout partitioned by event_type,
+    then answer a monthly funnel census for the purchase/click types
+    from ONLY those partitions.
+
+    At 100 TB every real table is partitioned, and the first thing a
+    user touches is a partition predicate — this key makes that a
+    scored behavior. The read-back plan must show
+    ``PartitionFilters: [event_type IN (purchase,click)]`` with the
+    other three partitions never opened (asserted, along with the
+    dynamic-partition-pruning variant of the same layout, in
+    tests/test_plan_shapes.py); the month rollup is a plain two-phase
+    hash aggregate over the surviving 2/5 of the data, money on exact
+    integer cents (§MONEY — event-rate-unbounded groups). The oracle
+    states the logical spec (filter over the flat table): the
+    partitioned detour must be semantically invisible.
+    """
+    path = partitioned_events_path(spark, sf_dir)
+    evp = spark.read.parquet(path)
+    return (
+        evp.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            "event_type",
+            F.trunc(F.col("ts"), "month").alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                money.sum_exact(money.cents(F.col("value")))
+                .cast("double") / 100.0
+            ).alias("sum_value"),
+        )
+    )

@@ -584,3 +584,43 @@ def test_asof_nearest_single_shuffle_no_join(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "hashpartitioning(user_id" in plan
     assert "Join" not in plan
+
+
+def test_partitioned_read_back_prunes_partitions(spark):
+    """scan_partitioned_pruned (r8): the event_type predicate must be
+    a PARTITION filter on the read-back scan — directories for the
+    other three types are never opened."""
+    df = scans.scan_partitioned_pruned(spark, SF_DIR)
+    plan = _physical(df)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf
+    # the predicate must not degrade to a post-scan data filter
+    assert "purchase" in pf or "IN" in pf.upper()
+
+
+def test_partitioned_layout_gets_dynamic_partition_pruning(spark):
+    """The same partitioned layout under a join whose dim side carries
+    a runtime-only selective filter must plan DYNAMIC partition
+    pruning: the fact scan's PartitionFilters gains a dynamicpruning
+    subquery fed by the dim, so at 100 TB only the joined partitions
+    are read — the optimizer's scale lever for star joins on
+    partitioned facts (VERDICT r7 item 3)."""
+    from pyspark.sql import functions as F
+
+    path = scans.partitioned_events_path(spark, SF_DIR)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.createDataFrame(
+            [("purchase", 1), ("click", 0), ("view", 0)],
+            "event_type string, is_rev int",
+        )
+        .where(F.col("is_rev") == 1)  # runtime-selective, non-foldable
+        .select("event_type")
+    )
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = _physical(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result only touches the surviving partition
+    rows = {r.event_type: r["count"] for r in joined.collect()}
+    assert set(rows) == {"purchase"}
