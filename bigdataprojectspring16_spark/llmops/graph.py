@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import money
 from ..plans.barriers import barrier, conf_knob
 from ..registry import query
 from ..tables import load_table
@@ -487,16 +488,26 @@ def graph_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_round_sql(r: int) -> str:
     """One unrolled power-iteration round as DuckDB CTEs, in the
     N-scaled form (pr ≈ 1): pr' = 0.15 + 0.85 · Σ inflow, QUANTIZED
-    to 6 decimals at the round boundary — the inflow sum is the one
-    order-dependent float, so quantizing re-synchronizes the
-    distributed execution with the serial oracle (the
-    `kmeans_lloyd_rounds` discipline)."""
+    to 6 decimals at the round boundary.
+
+    r8 (§MONEY residual retirement): the inflow sum itself is now
+    EXACT — each contribution pr/d (identical IEEE doubles on both
+    engines: pr is on the 6-dp grid, d is an integer) is
+    floor-quantized to the 1e-12 grid per edge and summed as exact
+    integers (HUGEINT here, decimal(38,0) in Spark), so the one
+    formerly order-dependent float in the fixpoint is gone — the
+    value entering the display round is identical on any engine,
+    any partitioning, at any scale (the `scalar_math.sum_sqrt_price`
+    floor-quantize-then-sum discipline)."""
     return f"""
     r{r} AS (
         SELECT n.pid,
-               round(0.15 + 0.85 * coalesce(s.inflow, 0), 6) AS pr
+               round(0.15 + 0.85 * (CAST(coalesce(s.inflow_q, 0) AS DOUBLE)
+                                    / 1e12), 6) AS pr
         FROM nodes n LEFT JOIN (
-            SELECT e.v AS pid, sum(r.pr / deg.d) AS inflow
+            SELECT e.v AS pid,
+                   sum(CAST(floor(r.pr / deg.d * 1000000000000.0)
+                            AS BIGINT)) AS inflow_q
             FROM e0 e
             JOIN r{r - 1} r ON e.u = r.pid
             JOIN deg ON e.u = deg.u
@@ -533,10 +544,11 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound).  Each round is one edge⋈rank equi-join + a target-keyed
     sum + a left join back onto the node set (isolated parts decay
     to the 0.15 base), with ranks QUANTIZED to 6 decimals at every
-    round boundary — the inflow sum is the only order-dependent
-    float, so quantization makes the distributed rounds
-    hash-identical to the serial oracle (the `kmeans_lloyd_rounds`
-    discipline).  All rounds chain as ONE lazy plan — no driver
+    round boundary and the inflow sum itself EXACT (r8: per-edge
+    contributions floor-quantized to the 1e-12 grid, summed as exact
+    integers — the last order-dependent float in the fixpoint is
+    retired, see _pagerank_round_sql).  All rounds chain as ONE lazy
+    plan — no driver
     loop; the final top-20 is a distributed TakeOrdered under the
     total (pr DESC, pid) order.
     """
@@ -618,16 +630,31 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = barrier(deg)
     ranks = nodes.select("pid", F.lit(1.0).alias("pr"))
     for _ in range(3):
+        # §MONEY r8: exact inflow — floor-quantize each edge's pr/d
+        # contribution to the 1e-12 grid (identical doubles on both
+        # engines; floor has no half-way semantics) and sum as exact
+        # integers, so no order-dependent float survives the round.
         inflow = (
             e0.join(ranks.withColumnRenamed("pid", "u"), "u")
             .join(deg, "u")
             .groupBy(F.col("v").alias("pid"))
-            .agg(F.sum(F.col("pr") / F.col("d")).alias("inflow"))
+            .agg(
+                money.sum_exact(
+                    F.floor(F.col("pr") / F.col("d") * F.lit(1e12))
+                ).alias("inflow_q")
+            )
         )
         ranks = nodes.join(inflow, "pid", "left").select(
             "pid",
             F.round(
-                0.15 + 0.85 * F.coalesce(F.col("inflow"), F.lit(0.0)), 6
+                0.15
+                + 0.85
+                * (
+                    F.coalesce(F.col("inflow_q"), F.lit(0))
+                    .cast("double")
+                    / F.lit(1e12)
+                ),
+                6,
             ).alias("pr"),
         )
     return ranks.orderBy(F.col("pr").desc(), "pid").limit(20)
