@@ -45,48 +45,42 @@ from .operators import tpch  # noqa: F401
 #   4. 11 refresh slots for keys last checked in r1, spread across
 #      modules, so the oldest hard signal keeps rotating forward.
 _DRIVER_WINDOW_PRIORITY = [
-    # r7 rotation (VERDICT r6 next-round #1): r7-changed code first
-    # (changed code verifies FIRST, ADVICE r2 discipline), then ALL
-    # 29 keys whose newest driver signal is r2, then 9 r3-stale
-    # refresh slots. After this window lands, no key's newest real
-    # driver signal is older than r3.
-    # -- group 0a: NEW r7 keys (never driver-checked) --
-    "agg_weighted_percentile", "join_interval_self_overlap",
-    "sample_importance_reweight", "embeddings_pca_power",
-    # -- group 0b: r7-changed code --
-    #    ADVICE r6: overflow-safe pre-reduced Knuth hash, both sides
-    #    (functions/hashing.py — 7 keys):
-    "sample_class_balanced", "sample_hash_mod", "sample_stratified",
-    "sample_domain_cap", "sample_kfold_stratified",
-    "dedup_incremental_batch", "docs_fold_contamination",
-    #    VERDICT r6 item 4: exact-integer-identity imputed sum:
-    "clean_impute_nulls",
-    #    ADVICE r6: charge partial re-gridded e6 -> e4 at level 1:
-    "agg_pricing_summary",
-    #    VERDICT r6 item 3: window-form star rounds (CC fixpoint):
-    "graph_connected_components", "graph_cluster_keep_best",
-    #    §SF1 grid-rule boundary fixes (the sf1 audit caught float
-    #    money-sums flipping cents at table-scale groups; all six
-    #    now sum exact integer cents, and clean_winsorize selects
-    #    integer nearest-rank fences instead of interpolating):
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_global",
-    "join_null_safe", "clean_winsorize",
-    # -- group 1: the 29 r2-stale keys (VERDICT r6 item 1's list) --
-    "array_ops", "custdist_two_level_agg", "dedup_keep_best",
-    "dedup_latest_by_key", "distinct_exact", "docs_curation_pipeline",
-    "events_dau_stickiness", "events_moving_avg_7d",
-    "events_transition_matrix", "explode_wordcount", "json_extract",
-    "map_from_entries", "map_hof", "merge_upsert_batch",
-    "pivot_event_types", "scalar_conditional", "scalar_date",
-    "scalar_string", "set_except", "set_intersect", "set_union_all",
-    "set_union_distinct", "timeseries_gap_fill",
-    "tpch_q16_supplier_cnt", "udaf_geomean", "udf_grouped_zscore",
-    "udf_scalar_python", "udtf_surface", "unpivot_metrics",
-    # (the r3-stale refresh slots and the comment-only
-    # events_decayed_user_value were displaced by the six §SF1
-    # grid-rule fixes above — proven-changed code outranks staleness
-    # refresh; every displaced key is green in this round's full
-    # sf0.01/sf0.1/sf1 receipt sweeps and rotates in r8)
+    # r8 rotation (VERDICT r7 next-round #1/#2): the never-checked
+    # new key first, then ALL r8-changed code (changed code verifies
+    # FIRST, ADVICE r2 discipline), then 25 of the 37 remaining
+    # r3-stale keys. The 12 r3-stale keys that do not fit this
+    # window (multimodal_* x4, profile_* x2, sim_topk_per_centroid,
+    # text_quality_score/repetition_ratio/tfidf_topterms/token_count/
+    # zipf_fit) lead the r9 rotation; every one of them is green in
+    # this round's full sf0.001 + sf0.1 receipt sweeps.
+    # -- group 0a: NEW r8 key (never driver-checked) --
+    "scan_partitioned_pruned",
+    # -- group 0b: §MONEY r8 migration — exact integer cents for the
+    #    unbounded-group float money sums (SCALING.md §MONEY):
+    "agg_having", "window_share_of_total", "orders_yoy_growth",
+    "tpch_q22_idle_customers", "sample_hash_mod", "sample_stratified",
+    "join_inner_equi", "join_full_outer", "join_theta",
+    "join_skew_events_customers", "stream_tumbling",
+    "stream_static_enrich", "json_extract", "merge_upsert_batch",
+    "unpivot_metrics", "scalar_math", "rollup_incremental_merge",
+    #    ADVICE r7: Fibonacci high-bits hash reduction (fold/batch
+    #    assignment decorrelated from key residue):
+    "sample_kfold_stratified", "dedup_incremental_batch",
+    "docs_fold_contamination", "docs_leakage_safe_split",
+    #    ADVICE r7: pinned-order ESS moments; two-level sharded
+    #    percentile cumsum; exact PageRank inflow (residual retired):
+    "sample_importance_reweight", "agg_weighted_percentile",
+    "graph_pagerank_rounds",
+    # -- group 1: 25 of the r3-stale cohort (VERDICT r7 item 2) --
+    "array_hof", "clean_outlier_iqr", "corpus_mix_report",
+    "dedup_dup_rate_by_source", "dedup_exact_docs", "dedup_simhash",
+    "docs_chunk_overlap", "docs_subset_containment",
+    "embeddings_quantize_int8", "knn_per_label_centroid",
+    "sample_temperature", "scalar_bitwise", "scalar_try_cast",
+    "sim_ann_lsh", "sim_centroid_assign", "sim_knn_cosine",
+    "sim_pairs_threshold", "text_char_entropy", "text_clean_stopwords",
+    "text_decontaminate", "text_fingerprint", "text_lang_stats",
+    "text_langid", "text_ngram_novelty", "text_perplexity_unigram",
 ]
 
 
