@@ -48,11 +48,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # r8 rotation (VERDICT r7 next-round #1/#2): the never-checked
     # new key first, then ALL r8-changed code (changed code verifies
     # FIRST, ADVICE r2 discipline), then 25 of the 37 remaining
-    # r3-stale keys. The 12 r3-stale keys that do not fit this
+    # r3-stale keys. The 13 r3-stale keys that do not fit this
     # window (multimodal_* x4, profile_* x2, sim_topk_per_centroid,
-    # text_quality_score/repetition_ratio/tfidf_topterms/token_count/
-    # zipf_fit) lead the r9 rotation; every one of them is green in
-    # this round's full sf0.001 + sf0.1 receipt sweeps.
+    # text_perplexity_unigram/quality_score/repetition_ratio/
+    # tfidf_topterms/token_count/zipf_fit) lead the r9 rotation;
+    # every one of them is green in this round's full sf0.001 +
+    # sf0.1 receipt sweeps.
     # -- group 0a: NEW r8 key (never driver-checked) --
     "scan_partitioned_pruned",
     # -- group 0b: §MONEY r8 migration — exact integer cents for the
@@ -68,9 +69,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_kfold_stratified", "dedup_incremental_batch",
     "docs_fold_contamination", "docs_leakage_safe_split",
     #    ADVICE r7: pinned-order ESS moments; two-level sharded
-    #    percentile cumsum; exact PageRank inflow (residual retired):
+    #    percentile cumsum; exact PageRank inflow (residual retired);
+    #    hierarchical (3-level) packing prefix sum:
     "sample_importance_reweight", "agg_weighted_percentile",
-    "graph_pagerank_rounds",
+    "graph_pagerank_rounds", "docs_pack_sequences",
     # -- group 1: 25 of the r3-stale cohort (VERDICT r7 item 2) --
     "array_hof", "clean_outlier_iqr", "corpus_mix_report",
     "dedup_dup_rate_by_source", "dedup_exact_docs", "dedup_simhash",
@@ -80,7 +82,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "sim_ann_lsh", "sim_centroid_assign", "sim_knn_cosine",
     "sim_pairs_threshold", "text_char_entropy", "text_clean_stopwords",
     "text_decontaminate", "text_fingerprint", "text_lang_stats",
-    "text_langid", "text_ngram_novelty", "text_perplexity_unigram",
+    "text_langid", "text_ngram_novelty",
 ]
 
 

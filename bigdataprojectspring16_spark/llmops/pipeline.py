@@ -980,16 +980,22 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The packing key is an exclusive global prefix sum of token
     counts. A single global window would serialize the corpus through
-    one partition, so the plan is the scale-correct TWO-LEVEL prefix
-    sum: (1) dense doc_ids shard into contiguous ranges
+    one partition, so the plan is the scale-correct HIERARCHICAL
+    prefix sum (fan-out {PACK_SHARD} per level, r8 adds the third
+    level): (1) dense doc_ids shard into contiguous ranges
     (``doc_id div {PACK_SHARD}``), per-shard token totals aggregate
-    at full parallelism; (2) shard offsets come from a running sum
-    over the CONTRACTED shard frame (|docs|/{PACK_SHARD} rows — the
-    one sanctioned tiny single-partition window, the q11/rfm
-    contracted-aggregate convention); (3) the within-shard exclusive
-    cumsum runs partitioned by shard and adds the broadcast offset.
-    All arithmetic is exact integers, so sequence boundaries are
-    engine- and partition-order-exact.
+    at full parallelism; (2) within-SUPERSHARD shard offsets run
+    partitioned by supershard (``shard div {PACK_SHARD}`` ranges —
+    {PACK_SHARD} shards each, full parallelism); (3) supershard
+    offsets come from a running sum over the DOUBLY-CONTRACTED
+    supershard frame (|docs|/{PACK_SHARD}² rows ≈ 1e4 at a 1e10-doc
+    corpus — the one sanctioned tiny single-partition window, the
+    q11/rfm contracted-aggregate convention, exempted explicitly in
+    tests/test_plan_shapes.py::CONTRACTED_WINDOW_KEYS); (4) the
+    within-shard exclusive cumsum runs partitioned by shard and adds
+    the broadcast composed offset. Prefix sums over exact integers
+    compose associatively, so sequence boundaries are engine- and
+    partition-order-exact at every level.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -999,16 +1005,35 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shard_totals = toks.groupBy("shard").agg(
         F.sum("n_toks").alias("shard_toks")
+    ).withColumn(
+        "super", F.col("shard") - F.col("shard") % (PACK_SHARD * PACK_SHARD)
     )
-    w_shards = (
-        Window.orderBy("shard")
+    w_in_super = (
+        Window.partitionBy("super")
+        .orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = shard_totals.select(
-        "shard",
-        F.coalesce(F.sum("shard_toks").over(w_shards), F.lit(0)).alias(
-            "shard_offset"
+    super_totals = shard_totals.groupBy("super").agg(
+        F.sum("shard_toks").alias("super_toks")
+    )
+    w_top = Window.orderBy("super").rowsBetween(Window.unboundedPreceding, -1)
+    super_offsets = super_totals.select(
+        "super",
+        F.coalesce(F.sum("super_toks").over(w_top), F.lit(0)).alias(
+            "super_offset"
         ),
+    )
+    offsets = (
+        shard_totals.join(F.broadcast(super_offsets), "super")
+        .select(
+            "shard",
+            (
+                F.col("super_offset")
+                + F.coalesce(
+                    F.sum("shard_toks").over(w_in_super), F.lit(0)
+                )
+            ).alias("shard_offset"),
+        )
     )
     w_in = (
         Window.partitionBy("shard")

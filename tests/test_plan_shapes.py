@@ -62,9 +62,11 @@ def test_multiway_star_broadcasts_all_dims(spark):
 
 #: Keys whose ONLY unpartitioned window runs over a provably
 #: CONTRACTED frame (the q11/rfm contracted-aggregate convention
-#: applied to windows): docs_pack_sequences' shard-offset running sum
-#: sees |docs|/PACK_SHARD rows — its fact-sized window is partitioned
-#: by shard, asserted separately in
+#: applied to windows): docs_pack_sequences' top-level offset
+#: running sum sees the DOUBLY-contracted supershard frame
+#: (|docs|/PACK_SHARD² rows — ~1e4 at a 1e10-doc corpus; r8 added
+#: the middle hierarchy level). Its fact-sized and shard-sized
+#: windows are partitioned, asserted separately in
 #: test_pack_sequences_prefix_sum_is_sharded.
 CONTRACTED_WINDOW_KEYS = {"docs_pack_sequences"}
 
@@ -545,16 +547,19 @@ def test_bm25_is_filtered_broadcast_take_ordered(spark):
 
 
 def test_pack_sequences_prefix_sum_is_sharded(spark):
-    """The packing cumsum must be the two-level form: the per-doc
-    window partitions by shard (full parallelism over the fact);
-    only the CONTRACTED shard-offset frame (|docs|/1024 rows) may
-    pass through a single partition."""
+    """The packing cumsum must be the hierarchical form (r8,
+    3 levels): the per-doc window partitions by shard and the
+    shard-offset window by supershard (full parallelism over both);
+    only the DOUBLY-contracted supershard frame (|docs|/1024^2 rows)
+    may pass through a single partition."""
     import re
 
     plan = _physical(QUERIES["docs_pack_sequences"](spark, SF_DIR))
     # within-shard window partitioned on the shard key
     assert re.search(r"hashpartitioning\(shard#\d+", plan)
-    # the offsets frame broadcasts back — no shuffled join on the fact
+    # shard-offset window partitioned on the supershard key
+    assert re.search(r"hashpartitioning\(super#\d+", plan)
+    # the offsets frames broadcast back — no shuffled join on the fact
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
