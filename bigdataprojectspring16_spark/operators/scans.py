@@ -511,7 +511,13 @@ def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned detour must be semantically invisible.
     """
     path = partitioned_events_path(spark, sf_dir)
-    evp = spark.read.parquet(path)
+    # Explicit schema on read-back: inference is an extra listing pass
+    # at 100 TB and fails outright on an empty layout (no data files
+    # to sample) — the same explicit-schema rule as CSV/JSON ingestion
+    # (SCALING.md §Scans).
+    evp = spark.read.schema(
+        load_table(spark, sf_dir, "events").schema
+    ).parquet(path)
     return (
         evp.where(F.col("event_type").isin("purchase", "click"))
         .groupBy(

@@ -86,7 +86,11 @@ PORTABLE_SQL_KEYS: list[str] = [
     "agg_bool_and_or",
     "agg_weighted_percentile",
     "clean_winsorize",
-    "sample_importance_reweight",
+    # sample_importance_reweight excluded since r8: its oracle pins
+    # the ESS-moment fold order with DuckDB's ordered-aggregate
+    # syntax (sum(x ORDER BY lang)), which Spark SQL does not parse —
+    # the DataFrame form pins the same order via
+    # array_sort(collect_list(...)) + aggregate.
     "agg_corr_covar",
     "agg_cube",
     "agg_distinct_count",
