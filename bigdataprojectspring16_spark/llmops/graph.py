@@ -36,7 +36,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import money
 from ..plans.barriers import barrier, conf_knob
 from ..registry import query
 from ..tables import load_table
@@ -493,20 +492,26 @@ def _pagerank_round_sql(r: int) -> str:
     r8 (§MONEY residual retirement): the inflow sum itself is now
     EXACT — each contribution pr/d (identical IEEE doubles on both
     engines: pr is on the 6-dp grid, d is an integer) is
-    floor-quantized to the 1e-12 grid per edge and summed as exact
-    integers (HUGEINT here, decimal(38,0) in Spark), so the one
-    formerly order-dependent float in the fixpoint is gone — the
-    value entering the display round is identical on any engine,
-    any partitioning, at any scale (the `scalar_math.sum_sqrt_price`
-    floor-quantize-then-sum discipline)."""
+    floor-quantized to the 1e-9 grid per edge and summed as exact
+    BIGINTs, so the one formerly order-dependent float in the
+    fixpoint is gone — the value entering the display round is
+    identical on any engine, any partitioning (the
+    `scalar_math.sum_sqrt_price` floor-quantize-then-sum
+    discipline). Grid + accumulator bounds: a node's inflow
+    Σ pr/d ≤ Σ pr = N (each source spreads exactly pr across its
+    out-edges), so the per-node integer total is ≤ N·1e9 — inside
+    int64 for any N < 9.2e9 parts (~5× the 100 TB part count); a
+    plain long sum therefore stays exact at long-sum SPEED, where
+    the first-cut decimal(38,0) accumulator cost +45% on the bench
+    key (the r6 decimal-cliff lesson, SCALING §MONEY)."""
     return f"""
     r{r} AS (
         SELECT n.pid,
                round(0.15 + 0.85 * (CAST(coalesce(s.inflow_q, 0) AS DOUBLE)
-                                    / 1e12), 6) AS pr
+                                    / 1e9), 6) AS pr
         FROM nodes n LEFT JOIN (
             SELECT e.v AS pid,
-                   sum(CAST(floor(r.pr / deg.d * 1000000000000.0)
+                   sum(CAST(floor(r.pr / deg.d * 1000000000.0)
                             AS BIGINT)) AS inflow_q
             FROM e0 e
             JOIN r{r - 1} r ON e.u = r.pid
@@ -631,16 +636,18 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("pid", F.lit(1.0).alias("pr"))
     for _ in range(3):
         # §MONEY r8: exact inflow — floor-quantize each edge's pr/d
-        # contribution to the 1e-12 grid (identical doubles on both
-        # engines; floor has no half-way semantics) and sum as exact
-        # integers, so no order-dependent float survives the round.
+        # contribution to the 1e-9 grid (identical doubles on both
+        # engines; floor has no half-way semantics) and sum as plain
+        # exact BIGINTs (bound: Σ pr/d ≤ Σ pr = N per target, see
+        # _pagerank_round_sql — long-sum speed, no decimal cliff),
+        # so no order-dependent float survives the round.
         inflow = (
             e0.join(ranks.withColumnRenamed("pid", "u"), "u")
             .join(deg, "u")
             .groupBy(F.col("v").alias("pid"))
             .agg(
-                money.sum_exact(
-                    F.floor(F.col("pr") / F.col("d") * F.lit(1e12))
+                F.sum(
+                    F.floor(F.col("pr") / F.col("d") * F.lit(1e9))
                 ).alias("inflow_q")
             )
         )
@@ -652,7 +659,7 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (
                     F.coalesce(F.col("inflow_q"), F.lit(0))
                     .cast("double")
-                    / F.lit(1e12)
+                    / F.lit(1e9)
                 ),
                 6,
             ).alias("pr"),
