@@ -99,6 +99,26 @@ TPCH_R5 = [
 HEADLINE = HEADLINE + TPCH_R5
 
 
+def _release_refs(spark) -> None:
+    """Release the finished key's executor-side blocks (r9, VERDICT r8
+    item 5). Broadcast relations and localCheckpoint blocks are only
+    reclaimed when the ContextCleaner notices their JVM objects are
+    unreachable — which needs a GC cycle on BOTH sides of the Py4J
+    boundary. Across ~80 consecutive executions the live blocks of
+    long-dead plans used to accumulate until a broadcast build failed
+    at the default 8g driver heap (local mode: driver == executor).
+    One collect per key is off the timed path and keeps the whole
+    sf1 sweep inside the default heap.
+    """
+    import gc
+
+    gc.collect()  # drop Python-side DataFrame/plan refs first
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # cleaning is best-effort; never fail the bench for it
+
+
 def main() -> None:
     from bigdataprojectspring16_spark import QUERIES, get_session
 
@@ -135,6 +155,7 @@ def main() -> None:
         if len(set(run_jobs)) > 1:
             jobs_unstable[key] = run_jobs
         timings[key] = round(best, 4)
+        _release_refs(spark)
 
     total = round(sum(timings.values()), 4)
     # The r1 baseline (BASELINE.md) covers only the first 12 keys; the

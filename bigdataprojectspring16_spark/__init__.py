@@ -45,44 +45,39 @@ from .operators import tpch  # noqa: F401
 #   4. 11 refresh slots for keys last checked in r1, spread across
 #      modules, so the oldest hard signal keeps rotating forward.
 _DRIVER_WINDOW_PRIORITY = [
-    # r8 rotation (VERDICT r7 next-round #1/#2): the never-checked
-    # new key first, then ALL r8-changed code (changed code verifies
-    # FIRST, ADVICE r2 discipline), then 25 of the 37 remaining
-    # r3-stale keys. The 13 r3-stale keys that do not fit this
-    # window (multimodal_* x4, profile_* x2, sim_topk_per_centroid,
-    # text_perplexity_unigram/quality_score/repetition_ratio/
-    # tfidf_topterms/token_count/zipf_fit) lead the r9 rotation;
-    # every one of them is green in this round's full sf0.001 +
-    # sf0.1 receipt sweeps.
-    # -- group 0a: NEW r8 key (never driver-checked) --
-    "scan_partitioned_pruned",
-    # -- group 0b: §MONEY r8 migration — exact integer cents for the
-    #    unbounded-group float money sums (SCALING.md §MONEY):
-    "agg_having", "window_share_of_total", "orders_yoy_growth",
-    "tpch_q22_idle_customers", "sample_hash_mod", "sample_stratified",
-    "join_inner_equi", "join_full_outer", "join_theta",
-    "join_skew_events_customers", "stream_tumbling",
-    "stream_static_enrich", "json_extract", "merge_upsert_batch",
-    "unpivot_metrics", "scalar_math", "rollup_incremental_merge",
-    #    ADVICE r7: Fibonacci high-bits hash reduction (fold/batch
-    #    assignment decorrelated from key residue):
-    "sample_kfold_stratified", "dedup_incremental_batch",
-    "docs_fold_contamination", "docs_leakage_safe_split",
-    #    ADVICE r7: pinned-order ESS moments; two-level sharded
-    #    percentile cumsum; exact PageRank inflow (residual retired);
-    #    hierarchical (3-level) packing prefix sum:
-    "sample_importance_reweight", "agg_weighted_percentile",
-    "graph_pagerank_rounds", "docs_pack_sequences",
-    # -- group 1: 25 of the r3-stale cohort (VERDICT r7 item 2) --
-    "array_hof", "clean_outlier_iqr", "corpus_mix_report",
-    "dedup_dup_rate_by_source", "dedup_exact_docs", "dedup_simhash",
-    "docs_chunk_overlap", "docs_subset_containment",
-    "embeddings_quantize_int8", "knn_per_label_centroid",
-    "sample_temperature", "scalar_bitwise", "scalar_try_cast",
-    "sim_ann_lsh", "sim_centroid_assign", "sim_knn_cosine",
-    "sim_pairs_threshold", "text_char_entropy", "text_clean_stopwords",
-    "text_decontaminate", "text_fingerprint", "text_lang_stats",
-    "text_langid", "text_ngram_novelty",
+    # r9 rotation (VERDICT r8 next-round #1): drain the ENTIRE
+    # stale-driver-signal cohort — the 13 keys whose newest real
+    # driver check is r3 plus the 37 whose newest is r4 (derived by
+    # unioning CORRECTNESS_r01..r08 and keeping newest-round <= r4).
+    # 13 + 37 = exactly the 50-key window; after this round no key's
+    # newest driver signal is older than r5. All 50 are green in the
+    # r8 full-registry receipt sweeps (sf0.001 / sf0.01 / sf1-audit),
+    # so this window is a freshness rotation, not a risk triage.
+    # -- group 0: the 13 r3-stale keys (deferred from the r8 window) --
+    "multimodal_bin_packing", "multimodal_binary_stats",
+    "multimodal_frame_sample", "multimodal_join",
+    "profile_documents", "profile_embeddings",
+    "sim_topk_per_centroid", "text_perplexity_unigram",
+    "text_quality_score", "text_repetition_ratio",
+    "text_tfidf_topterms", "text_token_count", "text_zipf_fit",
+    # -- group 1: all 37 r4-stale keys --
+    "agg_multi_distinct", "agg_percentiles", "agg_salted_topk",
+    "dedup_edit_distance", "dedup_ngram_jaccard",
+    "dedup_threshold_sweep", "docs_review_queue",
+    "embeddings_dim_stats", "embeddings_whiten_qa",
+    "events_inter_arrival_stats", "events_time_heatmap",
+    "join_asof", "join_range_bucketed", "kmeans_lloyd_rounds",
+    "multimodal_block_dedup", "multimodal_features",
+    "multimodal_payload_near_dup", "orders_market_basket",
+    "orders_open_backlog_by_month", "sessionize_gap_batch",
+    "sort_multikey", "sort_nulls_boundary", "stream_dedup_census",
+    "stream_join_pairs", "stream_late_events_census",
+    "subquery_correlated", "subquery_scalar_agg",
+    "supplier_return_rate_topk", "text_bigram_pmi",
+    "text_perplexity_bigram", "text_vocab_coverage",
+    "tpch_q21_sole_late_supplier", "tpch_q2_min_cost_supplier",
+    "tpch_q4_late_order_priority", "udf_batch_model_score",
+    "window_range_frame", "window_rolling_median",
 ]
 
 

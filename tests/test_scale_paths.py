@@ -318,3 +318,61 @@ def test_knuth_hash_folds_decorrelated(spark):
         census = Counter(ref)
         for fold in range(m):
             assert abs(census[fold] / len(keys) - 1.0 / m) < 0.02
+
+
+def test_shuffle_partition_sizing_function():
+    """Pin the input-bytes → shuffle-partitions rule (VERDICT r8 item
+    2): ceil(bytes/256 KB) rounded up to a power of two, clamped to
+    [32 floor, 4096 cap]. Calibration points from the measured sf10
+    sweep (bench_sweep_sf10_r08.jsonl): sf1 documents (~6 MB) stays at
+    the healthy 32 floor; sf10 documents (~61 MB) lands on 256 — the
+    value that restored per-decade linearity."""
+    from bigdataprojectspring16_spark.session import (
+        shuffle_partitions_for_bytes as size,
+    )
+
+    assert size(0) == 32  # floor
+    assert size(1) == 32
+    assert size(6_055_071) == 32  # sf1 documents.parquet: floor holds
+    assert size(10_818_932) == 64  # sf0.1 lineitem: first raise
+    assert size(61_001_926) == 256  # sf10 documents: the measured fix
+    assert size(140_516_284) == 1024  # sf1 lineitem
+    assert size(10**15) == 4096  # cap
+    # monotone and power-of-two everywhere
+    prev = 0
+    for b in [0, 1, 2**18, 2**20, 2**23, 2**25, 2**27, 2**30, 2**34]:
+        n = size(b)
+        assert n >= prev and (n & (n - 1)) == 0
+        prev = n
+
+
+def test_autosize_raise_only_and_host_respect(spark):
+    """autosize_shuffle_partitions raises monotonically from our own
+    values and never clobbers a host-tuned conf in either direction."""
+    import bigdataprojectspring16_spark.session as S
+
+    key = S._SHUFFLE_PARTITIONS_KEY
+    orig = spark.conf.get(key)
+    try:
+        if "SPARK_GRAFT_SHUFFLE_PARTITIONS" in __import__("os").environ:
+            pytest.skip("manual shuffle-partition mode active")
+        spark.conf.set(key, "32")
+        S._AUTO_SIZED.pop(spark, None)
+        # small input: floor, no change
+        assert S.autosize_shuffle_partitions(spark, 10_000) is None
+        assert spark.conf.get(key) == "32"
+        # big input: raised to the sized value
+        assert S.autosize_shuffle_partitions(spark, 61_001_926) == 256
+        assert spark.conf.get(key) == "256"
+        # bigger input later: raised again (ours), monotone
+        assert S.autosize_shuffle_partitions(spark, 140_516_284) == 1024
+        # smaller input afterwards: never lowered
+        assert S.autosize_shuffle_partitions(spark, 10_000) is None
+        assert spark.conf.get(key) == "1024"
+        # host tunes mid-session: hands off from then on
+        spark.conf.set(key, "48")
+        assert S.autosize_shuffle_partitions(spark, 10**12) is None
+        assert spark.conf.get(key) == "48"
+    finally:
+        spark.conf.set(key, orig)
+        S._AUTO_SIZED.pop(spark, None)

@@ -34,3 +34,23 @@ def test_sql_equals_dataframe(spark, name):
     s = _sorted_rows(s_cols, [tuple(r) for r in sql_df.collect()])
     a = _sorted_rows(a_cols, [tuple(r) for r in api_df.collect()])
     assert s == a, f"{name}: SQL surface diverges from DataFrame surface"
+
+
+def test_portable_exclusion_list_pinned():
+    """The dual-SQL surface's sanctioned holes are EXACTLY the two
+    documented ones (VERDICT r8 item 7) — adding a third exclusion or
+    shrinking PORTABLE_SQL_KEYS must touch this test, on purpose."""
+    from bigdataprojectspring16_spark.sql import PORTABLE_SQL_EXCLUSIONS
+
+    assert set(PORTABLE_SQL_EXCLUSIONS) == {
+        "sample_importance_reweight",
+        "multimodal_join",
+    }
+    for key, reason in PORTABLE_SQL_EXCLUSIONS.items():
+        assert key in QUERIES, key
+        assert key not in PORTABLE_SQL_KEYS, key
+        assert len(reason) > 40, f"{key}: exclusion needs a real reason"
+    # The portable surface itself cannot silently shrink either.
+    assert len(PORTABLE_SQL_KEYS) == 61
+    assert len(set(PORTABLE_SQL_KEYS)) == 61
+    assert set(PORTABLE_SQL_KEYS) <= set(QUERIES)
