@@ -461,8 +461,9 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         o_orderstatus,
         count(*) FILTER (o_totalprice > 200000) AS n_big,
         count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
-        round(sum(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
-                       THEN o_totalprice ELSE 0 END), 2) AS high_prio_value,
+        CAST(sum(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS DOUBLE) / 100.0 AS high_prio_value,
         round(avg(CASE WHEN o_totalprice > 200000 THEN o_totalprice END), 4
         ) AS avg_big
     FROM orders
@@ -470,21 +471,29 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregation: count_if / filtered sums / null-skip avg."""
+    """Conditional aggregation: count_if / filtered sums / null-skip avg.
+
+    §MONEY (caught by the r9 sf10 decade audit, the third decade bug
+    in a row): the filtered revenue sum runs over per-status groups
+    that grow with the fact table, and at sf10 its float form crossed
+    the half-cent (Spark ...768.0 vs DuckDB ...767.99 at a ~5e11
+    total) — so it sums exact integer cents and divides back only
+    for display, like every unbounded-group money sum since r8.
+    """
     o = load_table(spark, sf_dir, "orders")
     big = F.col("o_totalprice") > 200000
     return o.groupBy("o_orderstatus").agg(
         F.count_if(big).alias("n_big"),
         F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
-        F.round(
-            F.sum(
+        (
+            money.sum_exact(
                 F.when(
                     F.col("o_orderpriority").like("1%")
                     | F.col("o_orderpriority").like("2%"),
-                    F.col("o_totalprice"),
-                ).otherwise(0.0)
-            ),
-            2,
+                    money.cents(F.col("o_totalprice")),
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("double")
+            / 100.0
         ).alias("high_prio_value"),
         F.round(F.avg(F.when(big, F.col("o_totalprice"))), 4).alias("avg_big"),
     )
