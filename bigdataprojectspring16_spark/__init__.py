@@ -28,56 +28,49 @@ from .operators import scans, projection, joins, aggregates, windows, sorts  # n
 from .operators import tpch  # noqa: F401
 
 # Registry order == the order the driver's verify walks the keys, and
-# each round's driver run is capped at 50 entries (CORRECTNESS_r01-r03
-# each contain exactly 50).  Key-level prioritization for round 4
-# (VERDICT.md r3 "Next round" items 1-2, 6):
-#   1. The 34 keys NEVER inside a driver window after r1+r2+r3
-#      (exactly: registry keys minus the union of the three
-#      CORRECTNESS files' key sets) — once these run, every registry
-#      key has hard driver signal at least once.
-#   2. Keys whose code changed or that were added this round (per
-#      ADVICE r2 discipline, changed code verifies FIRST):
-#      multimodal_features (output reshaped to hash-safe scalar rows
-#      + promoted from rows-only to oracle-keyed — must clear the r3
-#      err), and the two new watermark batch-twin census keys.
-#   3. The CC fixpoint pair (graph_cluster_keep_best touched by the
-#      r4 perf item; its helper is shared with connected components).
-#   4. 11 refresh slots for keys last checked in r1, spread across
-#      modules, so the oldest hard signal keeps rotating forward.
+# each round's driver run is capped at 50 entries (every
+# CORRECTNESS_r0N.json contains exactly 50). Standing rotation rule
+# (ADVICE r2 discipline): keys whose code changed this round verify
+# FIRST, then the stalest-signal cohort, oldest round first.
 _DRIVER_WINDOW_PRIORITY = [
-    # r9 rotation (VERDICT r8 next-round #1): drain the ENTIRE
-    # stale-driver-signal cohort — the 13 keys whose newest real
-    # driver check is r3 plus the 37 whose newest is r4 (derived by
-    # unioning CORRECTNESS_r01..r08 and keeping newest-round <= r4).
-    # 13 + 37 = exactly the 50-key window; after this round no key's
-    # newest driver signal is older than r5. All 50 are green in the
-    # r8 full-registry receipt sweeps (sf0.001 / sf0.01 / sf1-audit),
-    # so this window is a freshness rotation, not a risk triage.
-    # -- group 0: the 13 r3-stale keys (deferred from the r8 window) --
-    "multimodal_bin_packing", "multimodal_binary_stats",
-    "multimodal_frame_sample", "multimodal_join",
-    "profile_documents", "profile_embeddings",
-    "sim_topk_per_centroid", "text_perplexity_unigram",
-    "text_quality_score", "text_repetition_ratio",
-    "text_tfidf_topterms", "text_token_count", "text_zipf_fit",
-    # -- group 1: all 37 r4-stale keys --
-    "agg_multi_distinct", "agg_percentiles", "agg_salted_topk",
-    "dedup_edit_distance", "dedup_ngram_jaccard",
-    "dedup_threshold_sweep", "docs_review_queue",
-    "embeddings_dim_stats", "embeddings_whiten_qa",
-    "events_inter_arrival_stats", "events_time_heatmap",
-    "join_asof", "join_range_bucketed", "kmeans_lloyd_rounds",
-    "multimodal_block_dedup", "multimodal_features",
-    "multimodal_payload_near_dup", "orders_market_basket",
-    "orders_open_backlog_by_month", "sessionize_gap_batch",
-    "sort_multikey", "sort_nulls_boundary", "stream_dedup_census",
-    "stream_join_pairs", "stream_late_events_census",
-    "subquery_correlated", "subquery_scalar_agg",
-    "supplier_return_rate_topk", "text_bigram_pmi",
-    "text_perplexity_bigram", "text_vocab_coverage",
-    "tpch_q21_sole_late_supplier", "tpch_q2_min_cost_supplier",
-    "tpch_q4_late_order_priority", "udf_batch_model_score",
-    "window_range_frame", "window_rolling_median",
+    # r10 rotation (VERDICT r9 next-round #1): drain the r5-stale
+    # cohort and re-verify the one key whose code changed AFTER its
+    # newest driver check. Derived by unioning CORRECTNESS_r01..r09
+    # key sets and keeping each key's newest round: histogram is
+    # r5:21, r6:42, r7:40, r8:50, r9:50. Window = 2 changed-code keys
+    # + the remaining 20 r5 keys + the 28 alphabetically-first of the
+    # 39 ORACLE-KEYED r6 keys. Left for r11: the 11 remaining
+    # oracle-keyed r6 keys (tpch_q3/q5..q9 + window_* five) plus the
+    # 3 sanctioned rows-only keys
+    # (agg_approx_distinct, stream_watermark_late,
+    # stream_dedup_watermark — weakest-signal checks, and their
+    # semantics are pinned by the census twins checked r9).
+    # -- group 0: changed-code keys first (agg_conditional's
+    # exact-cents fix landed after its last check; the r10
+    # partitioned-layout cache-keying fix touches
+    # scan_partitioned_pruned), then the rest of the 21 r5-stale keys --
+    "agg_conditional", "scan_partitioned_pruned",
+    "agg_corr_covar", "agg_distinct_count", "agg_listagg",
+    "dedup_embedding_cosine", "dedup_minhash_lsh",
+    "dedup_near_jaccard", "filter_compound",
+    "filter_null_semantics", "join_anti", "join_asof_forward",
+    "join_broadcast", "join_left_outer", "join_range_interval",
+    "join_right_outer", "join_semi", "project_compute",
+    "scan_parquet", "scan_with_pushdown", "sim_ivf_recall_audit",
+    "sim_ivf_topk",
+    # -- group 1: 29 of the 39 oracle-keyed r6-stale keys --
+    "agg_bool_and_or", "agg_histogram_bins", "agg_max_by",
+    "agg_mode", "agg_skew_kurtosis", "clean_outlier_zscore",
+    "events_anomaly_mad", "events_decayed_user_value",
+    "events_funnel", "join_asof_nearest", "join_multiway_star",
+    "limit_topk", "orders_abc_by_segment", "orders_rfm_segments",
+    "retention_cohorts", "stream_session", "stream_sliding",
+    "stream_stateful_counter", "text_bm25_topk",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_ship_delay_priority", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_lead_promo_suppliers",
 ]
 
 

@@ -472,15 +472,33 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
     a crashed run lacks ``_SUCCESS`` and is rewritten into a fresh
     temp directory, then atomically renamed into place.
     """
+    import hashlib
     import os
     import tempfile
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    # ADVICE r9: key the scratch layout by a hash of the ABSOLUTE
+    # source dir (two distinct sf_dirs sharing a basename must not
+    # collide), and invalidate when the source events.parquet is newer
+    # than the published layout's _SUCCESS (a regenerated fixture —
+    # e.g. make_sf10.py FORCE=1 — must not keep serving stale data).
+    abs_dir = os.path.abspath(sf_dir)
+    tag = hashlib.sha1(abs_dir.encode()).hexdigest()[:12]
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "default") + "_" + tag
     base = os.path.join(root, ".tmp_partitioned")
     path = os.path.join(base, f"events_by_type_{name}")
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return path
+    success = os.path.join(path, "_SUCCESS")
+    if os.path.exists(success):
+        try:
+            src_mtime = os.path.getmtime(os.path.join(abs_dir, "events.parquet"))
+            fresh = os.path.getmtime(success) >= src_mtime
+        except OSError:
+            fresh = True  # source vanished — keep serving the layout
+        if fresh:
+            return path
+        import shutil as _shutil
+
+        _shutil.rmtree(path, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f"events_by_type_{name}_", dir=base)
     staging = os.path.join(tmp, "data")

@@ -61,7 +61,11 @@ def input_bytes(path: str) -> int:
             total = os.path.getsize(path)
         except OSError:
             total = 0
-    _PATH_BYTES_CACHE[path] = total
+    # ADVICE r9: never cache a 0 — an absent-then-created fixture (a
+    # generator writing into a fresh dir mid-process) would otherwise
+    # be sized 0 forever and never trigger shuffle autosizing.
+    if total > 0:
+        _PATH_BYTES_CACHE[path] = total
     return total
 
 

@@ -162,9 +162,13 @@ def main() -> None:
         "embeddings",
         f"""
         SELECT vec_id + i * {STRIDE['vec_id']} AS vec_id,
+               -- ADVICE r9: rotate by ((i % 63) + 1) ∈ [1, 63], never 0,
+               -- so no copy i > 0 is bit-identical to copy 0 (the old
+               -- (i % 64) form was the identity at i = 64 and injected
+               -- cross-copy exact-duplicate vectors).
                CASE WHEN i = 0 THEN embedding ELSE
-                   CAST(list_concat(embedding[(i % 64) + 1:],
-                                    embedding[1:(i % 64)]) AS FLOAT[])
+                   CAST(list_concat(embedding[(i % 63) + 2:],
+                                    embedding[1:(i % 63) + 1]) AS FLOAT[])
                END AS embedding,
                label
         FROM '{SRC}/embeddings.parquet', copies
