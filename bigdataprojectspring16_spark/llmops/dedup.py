@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..plans.barriers import barrier, conf_knob
 from ..registry import query
+from ..session import pinned_stage_width
 from ..tables import load_table
 
 #: When True, frames referenced from several plan branches (the
@@ -218,9 +219,12 @@ def prefix_filter_candidates(
     # pair-aggregation. A user repartition by the join key is exempt
     # from AQE coalescing and pins the fan-out (both sides derive from
     # it, so the join stays co-partitioned — one pinned shuffle total).
-    prefix = prefix.repartition(
-        t.sparkSession.sparkContext.defaultParallelism, "term"
-    )
+    # Width is scale-aware (session.pinned_stage_width tracks the
+    # autosized shuffle.partitions): at the sf10 decade a fixed
+    # defaultParallelism width left per-task expansion slices growing
+    # with the data and OOMed the default 8 g heap (VERDICT r9 item 4).
+    width = pinned_stage_width(t.sparkSession)
+    prefix = prefix.repartition(width, "term")
     if _materialize_shared(t):
         prefix = barrier(prefix)
     # ^ lazy barrier AFTER the pinned repartition: both join sides
@@ -261,10 +265,8 @@ def prefix_filter_candidates(
         # Pin the caller's verify fan-out: the surviving candidate set
         # is small enough for AQE to coalesce the downstream exact-
         # verify (which re-expands cost per row via array ops) onto
-        # too few cores.
-        .repartition(
-            t.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
-        )
+        # too few cores. Same scale-aware width as the posting join.
+        .repartition(width, "doc_a", "doc_b")
     )
 
 
@@ -487,7 +489,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user repartition is exempt from AQE coalescing) so the exact-
     # Jaccard re-check fans out instead of running near-serially.
     cand = cand.repartition(
-        spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        pinned_stage_width(spark), "doc_a", "doc_b"
     )
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
@@ -606,7 +608,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Pin the band self-join's fan-out: the per-doc band table is
         # tiny (4 rows/doc) so AQE would coalesce the join inputs to
         # one partition and serialize the candidate expansion.
-        .repartition(spark.sparkContext.defaultParallelism, "band", "sig")
+        .repartition(pinned_stage_width(spark), "band", "sig")
     )
     cand = (
         bands.select(

@@ -95,6 +95,31 @@ def shuffle_partitions_for_bytes(
     return max(floor, min(cap, pow2))
 
 
+def pinned_stage_width(spark: SparkSession) -> int:
+    """Partition width for a USER-PINNED repartition in an expanding
+    stage (posting self-joins, band joins, pair-verify fan-outs).
+
+    Those repartitions exist because AQE would coalesce the stage off
+    the SMALL pre-expansion map output (dedup.py:221) — but pinning
+    them at ``defaultParallelism`` hard-codes fixture-era width: at
+    the sf10 decade the posting self-join's per-task slice grew with
+    the data while the width stayed 32, and the pair-verify stage blew
+    the default 8 g heap (VERDICT r9 item 4; TaskMemoryManager page-
+    allocation failures). The session's ``shuffle.partitions`` already
+    tracks input bytes via :func:`autosize_shuffle_partitions` (the
+    loader calls it for every input), so the pinned width follows it:
+    per-task expanded slices then shrink with the same 256 KB/partition
+    rule as every other shuffle, and at fixture scale (≤ the tuned
+    floor) the width is ``defaultParallelism`` exactly as before.
+    """
+    par = spark.sparkContext.defaultParallelism
+    try:
+        cur = int(spark.conf.get(_SHUFFLE_PARTITIONS_KEY))
+    except Exception:
+        cur = 0
+    return max(par, min(cur, _AUTO_PARTITION_CAP))
+
+
 #: Sessions we auto-sized, with the value we set — distinguishes our
 #: own prior setting (safe to raise again) from a host's deliberate
 #: tuning (never clobbered, in either direction).

@@ -346,6 +346,28 @@ def test_shuffle_partition_sizing_function():
         prev = n
 
 
+def test_pinned_stage_width_tracks_autosized_partitions(spark):
+    """pinned_stage_width (VERDICT r9 item 4): user-pinned expansion
+    repartitions follow the autosized shuffle.partitions — never below
+    defaultParallelism, never above the autosize cap. At fixture scale
+    (conf == tuned floor 32 ≤ cores) the width is defaultParallelism,
+    i.e. bit-identical plans to the pre-fix form."""
+    import bigdataprojectspring16_spark.session as S
+
+    key = S._SHUFFLE_PARTITIONS_KEY
+    par = spark.sparkContext.defaultParallelism
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "32")
+        assert S.pinned_stage_width(spark) == max(par, 32)
+        spark.conf.set(key, "256")  # the sf10-docs autosized value
+        assert S.pinned_stage_width(spark) == max(par, 256)
+        spark.conf.set(key, "1000000")  # absurd host value: capped
+        assert S.pinned_stage_width(spark) == S._AUTO_PARTITION_CAP
+    finally:
+        spark.conf.set(key, orig)
+
+
 def test_autosize_raise_only_and_host_respect(spark):
     """autosize_shuffle_partitions raises monotonically from our own
     values and never clobbers a host-tuned conf in either direction."""
