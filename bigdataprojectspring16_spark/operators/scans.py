@@ -453,64 +453,61 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once per sf_dir) the events table as a hive-partitioned
-    parquet layout keyed by ``event_type`` and return its path.
+def _publish_partitioned_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    source_table: str,
+    layout: str,
+    write_fn,
+) -> str:
+    """Write (once per source fixture) a hive-partitioned scratch
+    layout and return its path; ``write_fn(df, staging_path)`` does
+    the actual partitioned write.
 
     The scratch layout lives inside the repo (gitignored) so the
-    declared query never writes outside the sandbox; one file per
-    partition via a pre-write repartition on the partition column —
-    the small-files discipline a 100 TB partitioned write needs (a
-    32-task write of 5 partitions would emit up to 160 files here,
-    and thousands per partition on a real cluster).
+    declared queries never write outside the sandbox.
 
-    ADVICE r8: the layout is written AT MOST ONCE per sf_dir and
+    ADVICE r8: the layout is written AT MOST ONCE per source and
     reused afterwards (Spark's own ``_SUCCESS`` marker is the
-    completion check) — the previous overwrite-every-call form could
-    race two concurrent processes (bench sweep + driver sim) with one
-    deleting files the other was listing. A half-written layout from
-    a crashed run lacks ``_SUCCESS`` and is rewritten into a fresh
-    temp directory, then atomically renamed into place.
+    completion check) — an overwrite-every-call form could race two
+    concurrent processes (bench sweep + driver sim) with one deleting
+    files the other was listing. A half-written layout from a crashed
+    run lacks ``_SUCCESS`` and is rewritten into a fresh temp
+    directory, then atomically renamed into place.
+
+    ADVICE r9: the path is keyed by a hash of the ABSOLUTE source dir
+    (two distinct sf_dirs sharing a basename must not collide), and
+    the layout is invalidated when the source parquet is newer than
+    the published ``_SUCCESS`` (a regenerated fixture — e.g.
+    make_sf10.py FORCE=1 — must not keep serving stale data).
     """
     import hashlib
     import os
+    import shutil
     import tempfile
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    # ADVICE r9: key the scratch layout by a hash of the ABSOLUTE
-    # source dir (two distinct sf_dirs sharing a basename must not
-    # collide), and invalidate when the source events.parquet is newer
-    # than the published layout's _SUCCESS (a regenerated fixture —
-    # e.g. make_sf10.py FORCE=1 — must not keep serving stale data).
     abs_dir = os.path.abspath(sf_dir)
     tag = hashlib.sha1(abs_dir.encode()).hexdigest()[:12]
     name = (os.path.basename(os.path.normpath(sf_dir)) or "default") + "_" + tag
     base = os.path.join(root, ".tmp_partitioned")
-    path = os.path.join(base, f"events_by_type_{name}")
+    path = os.path.join(base, f"{layout}_{name}")
     success = os.path.join(path, "_SUCCESS")
     if os.path.exists(success):
         try:
-            src_mtime = os.path.getmtime(os.path.join(abs_dir, "events.parquet"))
+            src_mtime = os.path.getmtime(
+                os.path.join(abs_dir, f"{source_table}.parquet")
+            )
             fresh = os.path.getmtime(success) >= src_mtime
         except OSError:
             fresh = True  # source vanished — keep serving the layout
         if fresh:
             return path
-        import shutil as _shutil
-
-        _shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix=f"events_by_type_{name}_", dir=base)
+    tmp = tempfile.mkdtemp(prefix=f"{layout}_{name}_", dir=base)
     staging = os.path.join(tmp, "data")
-    ev = load_table(spark, sf_dir, "events")
-    (
-        ev.repartition("event_type")
-        .write.mode("overwrite")
-        .partitionBy("event_type")
-        .parquet(staging)
-    )
-    import shutil
-
+    write_fn(load_table(spark, sf_dir, source_table), staging)
     try:
         os.rename(staging, path)  # atomic publish; loser keeps its tmp
     except OSError:
@@ -524,6 +521,130 @@ def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
         # else: another process published a complete layout — use theirs
     shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Events as a hive layout partitioned by ``event_type``.
+
+    One file per partition via a pre-write repartition on the
+    partition column — the small-files discipline a 100 TB partitioned
+    write needs (a 32-task write of 5 partitions would emit up to 160
+    files here, and thousands per partition on a real cluster).
+    """
+
+    def write(ev, staging):
+        (
+            ev.repartition("event_type")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(staging)
+        )
+
+    return _publish_partitioned_layout(
+        spark, sf_dir, "events", "events_by_type", write
+    )
+
+
+def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders as a hive layout DATE-partitioned by ``order_month``
+    (``yyyy-MM`` of ``o_orderdate``, ~80 partitions) — the canonical
+    100 TB fact layout (time-partitioned), used by the
+    dynamic-partition-pruning key below.
+
+    Same small-files discipline: repartition on the partition column
+    first so each month directory holds one file per month, not one
+    per write task.
+    """
+
+    def write(o, staging):
+        om = o.withColumn(
+            "order_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        (
+            om.repartition("order_month")
+            .write.mode("overwrite")
+            .partitionBy("order_month")
+            .parquet(staging)
+        )
+
+    return _publish_partitioned_layout(
+        spark, sf_dir, "orders", "orders_by_month", write
+    )
+
+
+@query(
+    "scan_dpp_orders_month",
+    oracle="""
+    WITH dim AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS order_month
+        FROM lineitem
+        GROUP BY 1
+        HAVING 3 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               > count(*)
+    )
+    SELECT order_month, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
+    FROM (SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                 o_totalprice
+          FROM orders) o
+    JOIN dim USING (order_month)
+    GROUP BY 1
+    """,
+)
+def scan_dpp_orders_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning on a DATE-partitioned fact (VERDICT r9
+    item 8): monthly order count + revenue for the ship-months whose
+    return rate exceeds one-third, answered from the month-partitioned
+    orders layout.
+
+    The month list is RUNTIME-ONLY (it depends on an aggregate over
+    lineitem), so static partition pruning cannot help — this is
+    exactly the shape where Catalyst must plan DYNAMIC partition
+    pruning: the dim side (≤ |months| rows after its selective
+    HAVING) broadcasts, and the fact scan's ``PartitionFilters``
+    gains a ``dynamicpruning`` subquery that reuses that broadcast,
+    so only the qualifying month directories (34-48 of 83, measured
+    per SF) are ever listed or read — the second thing a 100 TB user
+    touches after static pruning (plan-asserted in
+    tests/test_plan_shapes.py).
+
+    Shape note: the threshold is a LITERAL exact-integer compare
+    (3·r_m > t_m — no float shares, no knife-edge months, identical
+    arithmetic both engines). A corpus-relative threshold
+    (r_m·T > R·t_m) was tried and rejected: the totals crossJoin
+    inside the dim subtree suppresses Catalyst's PartitionPruning
+    rule entirely (measured — no dynamicpruning filter is inserted),
+    and a whole-corpus rate needs a second lineitem pass anyway.
+    Revenue is exact integer cents (§MONEY: month groups grow with
+    the fixture).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        li.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("t_m"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("r_m"),
+        )
+        .where(F.lit(3) * F.col("r_m") > F.col("t_m"))
+        .select("order_month")
+    )
+    fact = spark.read.parquet(partitioned_orders_path(spark, sf_dir))
+    return (
+        fact.join(F.broadcast(dim), "order_month")
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                money.sum_exact(money.cents(F.col("o_totalprice")))
+                .cast("double") / 100.0
+            ).alias("revenue"),
+        )
+    )
 
 
 @query(

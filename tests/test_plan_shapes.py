@@ -631,6 +631,30 @@ def test_partitioned_layout_gets_dynamic_partition_pruning(spark):
     assert set(rows) == {"purchase"}
 
 
+def test_scan_dpp_orders_month_plans_dynamic_pruning(spark):
+    """scan_dpp_orders_month (VERDICT r9 item 8): the DECLARED key's
+    fact scan must carry a dynamicpruning subquery in its
+    PartitionFilters — the month list is runtime-only (lineitem
+    aggregate), so a plan without DPP reads all ~80 month directories
+    at 100 TB."""
+    df = scans.scan_dpp_orders_month(spark, SF_DIR)
+    plan = _physical(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "order_month" in pf
+    # dim side broadcasts; the DPP subquery must REUSE that exchange
+    # (free pruning), not run the lineitem aggregate a second time —
+    # under AQE the reusable subquery prints as SubqueryAdaptiveBroadcast
+    # with reuse=true (first flag after the pruning key index).
+    assert "BroadcastHashJoin" in plan
+    assert (
+        "ReusedExchange" in plan
+        or "SubqueryBroadcast" in plan
+        or "SubqueryAdaptiveBroadcast" in plan
+    ), plan[:2000]
+
+
 def test_partitioned_layout_written_once_and_reused(spark):
     """ADVICE r8: the hive layout is written AT MOST ONCE per sf_dir
     (Spark's _SUCCESS marker is the completion check) so concurrent
