@@ -76,6 +76,10 @@ HEADLINE = [
     "join_interval_self_overlap",
     "sample_importance_reweight",
     "embeddings_pca_power",
+    # NEW r10 operator: dynamic partition pruning on the
+    # month-partitioned orders layout (the layout write itself lands
+    # in the untimed warmup pass, like every other scratch fixture).
+    "scan_dpp_orders_month",
 ]
 
 #: r5 addition: the TPC-H completion set (operators/tpch.py) — the 12
