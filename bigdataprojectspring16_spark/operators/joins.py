@@ -833,3 +833,56 @@ def join_interval_self_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("overlap_days").alias("sum_overlap_days"),
         F.count_distinct(F.col("custkey")).alias("n_customers"),
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-once/shuffle-never fact⋈fact join (r10): orders and
+    lineitem bucketed on the order key with the same bucket count, so
+    the biggest recurring TPC-H-shaped join needs NO exchange on
+    either side — the bucketing IS the shuffle, paid once at write
+    time and amortized across every downstream query. This is the
+    canonical 100 TB lever for repeated fact⋈fact joins (was
+    tests-only in tests/test_bucketing.py; now a scored behavior).
+
+    The ``merge`` hint pins sort-merge so the plan shape is the
+    bucketed SMJ at every fixture scale (without it, AQE would
+    broadcast the small fixture's orders side and hide the property
+    this key exists to exercise; at 100 TB SMJ is what the optimizer
+    picks anyway). tests/test_plan_shapes.py asserts ZERO
+    ``Exchange hashpartitioning`` in the physical plan. The oracle
+    states the flat-table semantics — the bucketed detour must be
+    invisible. Quantities are integral on the fixture grid (cast
+    exact); revenue is exact integer cents (§MONEY).
+    """
+    from ..sources.sinks import ensure_bucketed_pair
+
+    b_orders, b_lineitem = ensure_bucketed_pair(spark, sf_dir)
+    o = spark.table(b_orders).select("o_orderkey", "o_orderpriority")
+    li = spark.table(b_lineitem).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        o.hint("merge")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (
+                money.sum_exact(money.cents(F.col("l_extendedprice")))
+                .cast("double") / 100.0
+            ).alias("revenue"),
+        )
+    )

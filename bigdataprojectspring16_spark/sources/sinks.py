@@ -62,6 +62,78 @@ def write_bucketed_table(
     w.saveAsTable(name)
 
 
+def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
+    """Write-once bucketed orders/lineitem tables for ``sf_dir``;
+    returns their catalog names.
+
+    The bucketed layout is the write-once/shuffle-never contract: both
+    facts bucketed on the join key with the same bucket count, so the
+    orderkey join needs NO exchange on either side. Table names carry
+    a hash of the ABSOLUTE source dir (the ADVICE r9 layout-keying
+    rule: distinct fixtures must never share a scratch identity), and
+    creation is serialized by an OS file lock so two processes (bench
+    + driver sim) can never interleave a DROP/overwrite with the
+    other's scan — after the first writer commits, every later call is
+    a catalog lookup.
+    """
+    import fcntl
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..tables import load_table
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    plan = (
+        ("orders", f"b_orders_{tag}", "o_orderkey"),
+        ("lineitem", f"b_lineitem_{tag}", "l_orderkey"),
+    )
+    names = tuple(name for _src, name, _key in plan)
+    if all(spark.catalog.tableExists(n) for n in names):
+        return names
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse"
+    ).removeprefix("file:")
+    lock_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bucketed_{tag}.lock"
+    )
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            for src, name, key in plan:
+                if spark.catalog.tableExists(name):
+                    continue
+                # The Spark catalog is per-process but the warehouse
+                # directory persists: a COMPLETE layout (_SUCCESS) from
+                # an earlier process is re-registered in place as an
+                # external bucketed table (data written once, ever);
+                # a partial layout from a crashed write is discarded.
+                loc = os.path.join(warehouse, name.lower())
+                if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                    cols = ", ".join(
+                        f"{f.name} {f.dataType.simpleString()}"
+                        for f in load_table(spark, sf_dir, src).schema.fields
+                    )
+                    spark.sql(
+                        f"CREATE TABLE {name} ({cols}) USING parquet "
+                        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                        f"INTO 8 BUCKETS LOCATION '{loc}'"
+                    )
+                    continue
+                shutil.rmtree(loc, ignore_errors=True)
+                write_bucketed_table(
+                    load_table(spark, sf_dir, src),
+                    name,
+                    [key],
+                    num_buckets=8,
+                    sort_cols=[key],
+                )
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    return names
+
+
 def write_json(
     df: DataFrame,
     path: str,

@@ -655,6 +655,22 @@ def test_scan_dpp_orders_month_plans_dynamic_pruning(spark):
     ), plan[:2000]
 
 
+def test_join_bucketed_colocated_has_no_join_exchange(spark):
+    """join_bucketed_colocated (r10): the orderkey fact⋈fact join must
+    run as sort-merge with NO exchange on either side — the bucketed
+    write IS the shuffle. The only allowed exchange is the final
+    o_orderpriority aggregate's."""
+    from bigdataprojectspring16_spark.operators import joins
+
+    df = joins.join_bucketed_colocated(spark, SF_DIR)
+    plan = _physical(df)
+    assert "SortMergeJoin" in plan
+    assert "orderkey" not in "".join(
+        seg.split(")", 1)[0]
+        for seg in plan.split("Exchange hashpartitioning(")[1:]
+    ), plan[:2000]
+
+
 def test_partitioned_layout_written_once_and_reused(spark):
     """ADVICE r8: the hive layout is written AT MOST ONCE per sf_dir
     (Spark's _SUCCESS marker is the completion check) so concurrent
