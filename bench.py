@@ -76,10 +76,12 @@ HEADLINE = [
     "join_interval_self_overlap",
     "sample_importance_reweight",
     "embeddings_pca_power",
-    # NEW r10 operator: dynamic partition pruning on the
-    # month-partitioned orders layout (the layout write itself lands
-    # in the untimed warmup pass, like every other scratch fixture).
+    # NEW r10 operators: dynamic partition pruning on the
+    # month-partitioned orders layout, and the bucketed co-located
+    # fact join (the layout/table writes land in the untimed warmup
+    # pass, like every other scratch fixture).
     "scan_dpp_orders_month",
+    "join_bucketed_colocated",
 ]
 
 #: r5 addition: the TPC-H completion set (operators/tpch.py) — the 12
