@@ -633,7 +633,16 @@ def scan_dpp_orders_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.lit(3) * F.col("r_m") > F.col("t_m"))
         .select("order_month")
     )
-    fact = spark.read.parquet(partitioned_orders_path(spark, sf_dir))
+    # Explicit schema on read-back (same rule as scan_partitioned_
+    # pruned): inference is an extra listing pass at 100 TB and fails
+    # outright on an empty layout — the partition column appends as a
+    # string to the source schema.
+    fact_schema = load_table(spark, sf_dir, "orders").schema.add(
+        "order_month", "string"
+    )
+    fact = spark.read.schema(fact_schema).parquet(
+        partitioned_orders_path(spark, sf_dir)
+    )
     return (
         fact.join(F.broadcast(dim), "order_month")
         .groupBy("order_month")
