@@ -810,3 +810,105 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t) - 3),
+                                     j -> array_to_string(t[j:j+4], ' ')))
+                   AS shingle
+        FROM toks WHERE len(t) >= 5
+    ),
+    df AS (
+        SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY shingle
+    ),
+    occ AS (SELECT * FROM sh JOIN df USING (shingle)),
+    per_doc AS (
+        SELECT doc_id, source,
+               count(*) AS total_occ,
+               sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS boiler_occ
+        FROM occ GROUP BY doc_id, source
+    ),
+    per_src AS (
+        SELECT source,
+               count(*) AS n_docs,
+               round(avg(CAST(boiler_occ AS DOUBLE) / total_occ), 6)
+                   AS avg_boiler_share,
+               CAST(sum(CASE WHEN boiler_occ * 2 >= total_occ
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_templated
+        FROM per_doc GROUP BY source
+    ),
+    src_sh AS (
+        SELECT source,
+               count(DISTINCT CASE WHEN df >= 3 THEN shingle END)
+                   AS n_boiler_shingles
+        FROM occ GROUP BY source
+    )
+    SELECT source, n_docs, avg_boiler_share, n_templated, n_boiler_shingles
+    FROM per_src JOIN src_sh USING (source)
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span census (C4's line-dedup rule lifted to token
+    5-grams): a shingle appearing in >= 3 DISTINCT documents is
+    boilerplate — template headers, license blurbs, navigation chrome
+    — and per source we report mean per-doc boilerplate share (share
+    of the doc's shingle occurrences that are boilerplate), how many
+    docs are majority-boilerplate (templated), and how many distinct
+    boilerplate shingles the source contributes.
+
+    This is the LINEAR complement to the pairwise near-dup family:
+    repeated-span detection needs no candidate pairs at all — one
+    keyed aggregation over (shingle -> distinct-doc count) and a join
+    back, exactly the tf-idf document-frequency shape
+    (`text_tfidf_topterms`). At 100 TB both shuffles key on the
+    shingle/doc hash with map-side partial aggregation; no window
+    ever sees more than one doc's spans and no operator is
+    quadratic. Docs shorter than 5 tokens carry no shingle and are
+    excluded from the census on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).where(F.size("t") >= 5)
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4),"
+                "          j -> concat_ws(' ', slice(t, j, 5)))"
+            )
+        ).alias("shingle"),
+    )
+    df_counts = sh.groupBy("shingle").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    occ = sh.join(df_counts, "shingle")
+    per_doc = occ.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("total_occ"),
+        F.sum(F.when(F.col("df") >= 3, 1).otherwise(0)).alias("boiler_occ"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.avg(F.col("boiler_occ") / F.col("total_occ")), 6
+        ).alias("avg_boiler_share"),
+        F.sum(
+            F.when(F.col("boiler_occ") * 2 >= F.col("total_occ"), 1).otherwise(
+                0
+            )
+        ).alias("n_templated"),
+    )
+    src_sh = occ.groupBy("source").agg(
+        F.count_distinct(
+            F.when(F.col("df") >= 3, F.col("shingle"))
+        ).alias("n_boiler_shingles")
+    )
+    return per_src.join(src_sh, "source")

@@ -19,9 +19,11 @@ class of bug.
 
 documents/embeddings: written by the same construction as
 tools/make_sf10_docs.py (documents is bit-identical input-wise:
-copy 0 verbatim, per-copy token prefixes; embeddings get the cyclic
-dim rotation). An existing documents.parquet from make_sf10_docs.py
-is left in place unless FORCE=1.
+copy 0 verbatim, per-copy token prefixes; embeddings get a per-copy
+orthogonal transform — cyclic dim rotation composed with a
+second-cycle negation, since 100 copies exceed the 64 distinct
+rotations of a 64-dim vector). An existing documents.parquet from
+make_sf10_docs.py is left in place unless FORCE=1.
 
 Run:  python tools/make_sf10.py     (writes .bench_sf10/<table>.parquet)
 Then: DRIVER_SIM_SF_DIR=/root/repo/.bench_sf10 \
@@ -162,18 +164,51 @@ def main() -> None:
         "embeddings",
         f"""
         SELECT vec_id + i * {STRIDE['vec_id']} AS vec_id,
-               -- ADVICE r9: rotate by ((i % 63) + 1) ∈ [1, 63], never 0,
-               -- so no copy i > 0 is bit-identical to copy 0 (the old
-               -- (i % 64) form was the identity at i = 64 and injected
-               -- cross-copy exact-duplicate vectors).
+               -- Per-copy orthogonal transform: rotate by
+               -- ((i % 63) + 1) ∈ [1, 63] (ADVICE r9: never 0, so no
+               -- copy i > 0 is bit-identical to copy 0), COMPOSED with
+               -- a full-vector negation for the second rotation cycle
+               -- (i >= 64). A pure rotation of a 64-dim vector has
+               -- only 64 distinct values, so at 100 copies the
+               -- pigeonhole forces collisions — (i, i+63) shared a
+               -- rotation and injected 36 x 2000 cross-copy
+               -- bit-identical vectors (caught by the post-write
+               -- distinctness check below). Negation is orthogonal
+               -- (within-copy geometry exact) and puts the
+               -- same-rotation cross-copy pairs at cosine exactly -1,
+               -- far below every positive near-dup threshold.
                CASE WHEN i = 0 THEN embedding ELSE
-                   CAST(list_concat(embedding[(i % 63) + 2:],
-                                    embedding[1:(i % 63) + 1]) AS FLOAT[])
+                   CAST(list_transform(
+                       list_concat(embedding[(i % 63) + 2:],
+                                   embedding[1:(i % 63) + 1]),
+                       x -> CASE WHEN i >= 64 THEN -x ELSE x END
+                   ) AS FLOAT[])
                END AS embedding,
                label
         FROM '{SRC}/embeddings.parquet', copies
         """,
     )
+    # Post-write distinctness check (the documented construction
+    # guarantee): beyond any duplicate groups the sf0.1 source itself
+    # carries (scaled by COPIES), the per-copy transforms must inject
+    # ZERO new bit-identical vectors. This is what caught the
+    # pigeonhole collision of the rotation-only form.
+    src_dups = con.execute(
+        f"""SELECT coalesce(sum(c - 1), 0) FROM (
+                SELECT count(*) c FROM '{SRC}/embeddings.parquet'
+                GROUP BY embedding HAVING count(*) > 1)"""
+    ).fetchone()[0]
+    out_dups = con.execute(
+        f"""SELECT coalesce(sum(c - 1), 0) FROM (
+                SELECT count(*) c FROM '{OUT}/embeddings.parquet'
+                GROUP BY embedding HAVING count(*) > 1)"""
+    ).fetchone()[0]
+    budget = src_dups * COPIES
+    assert out_dups <= budget, (
+        f"per-copy transform injected duplicate vectors: "
+        f"{out_dups} surplus rows vs source budget {budget}"
+    )
+    print(f"embeddings distinctness: {out_dups} dup rows (budget {budget})")
     con.close()
     print(f"wrote {OUT}")
 
