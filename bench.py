@@ -82,6 +82,11 @@ HEADLINE = [
     # pass, like every other scratch fixture).
     "scan_dpp_orders_month",
     "join_bucketed_colocated",
+    # NEW r10 text key: the boilerplate-span census — the linear
+    # shingle-df keyed-agg shape (explode + distinct-doc count +
+    # join-back), a plan class the headline otherwise samples only
+    # through tf-idf.
+    "text_boilerplate_ngrams",
 ]
 
 #: r5 addition: the TPC-H completion set (operators/tpch.py) — the 12

@@ -75,6 +75,13 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
     + driver sim) can never interleave a DROP/overwrite with the
     other's scan — after the first writer commits, every later call is
     a catalog lookup.
+
+    Staleness rule (the ADVICE r9 invalidation discipline, same as the
+    partitioned-events layout): a published layout is only reused
+    while its ``_SUCCESS`` is at least as new as the source parquet —
+    a regenerated fixture must never keep serving the old bucketed
+    data. A stale layout is dropped (catalog + files) and rewritten
+    under the lock.
     """
     import fcntl
     import hashlib
@@ -82,7 +89,7 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
     import shutil
     import tempfile
 
-    from ..tables import load_table
+    from ..tables import load_table, table_path
 
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     plan = (
@@ -90,11 +97,25 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
         ("lineitem", f"b_lineitem_{tag}", "l_orderkey"),
     )
     names = tuple(name for _src, name, _key in plan)
-    if all(spark.catalog.tableExists(n) for n in names):
-        return names
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse"
     ).removeprefix("file:")
+
+    def _fresh(src: str, name: str) -> bool:
+        success = os.path.join(warehouse, name.lower(), "_SUCCESS")
+        if not os.path.exists(success):
+            return False
+        try:
+            return os.path.getmtime(success) >= os.path.getmtime(
+                table_path(sf_dir, src)
+            )
+        except OSError:
+            return True  # source vanished — keep serving the layout
+
+    if all(
+        spark.catalog.tableExists(n) and _fresh(s, n) for s, n, _k in plan
+    ):
+        return names
     lock_path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_bucketed_{tag}.lock"
     )
@@ -102,15 +123,20 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
             for src, name, key in plan:
-                if spark.catalog.tableExists(name):
+                fresh = _fresh(src, name)
+                if spark.catalog.tableExists(name) and fresh:
                     continue
+                if not fresh:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
                 # The Spark catalog is per-process but the warehouse
                 # directory persists: a COMPLETE layout (_SUCCESS) from
                 # an earlier process is re-registered in place as an
-                # external bucketed table (data written once, ever);
-                # a partial layout from a crashed write is discarded.
+                # external bucketed table (data written once per
+                # source version); a partial layout from a crashed
+                # write and a stale layout from a regenerated fixture
+                # are both discarded.
                 loc = os.path.join(warehouse, name.lower())
-                if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                if fresh and os.path.exists(os.path.join(loc, "_SUCCESS")):
                     cols = ", ".join(
                         f"{f.name} {f.dataType.simpleString()}"
                         for f in load_table(spark, sf_dir, src).schema.fields

@@ -81,3 +81,50 @@ def test_groupby_on_bucket_key_avoids_shuffle(spark, bucketed):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan[:800]
+
+
+def test_ensure_bucketed_pair_invalidates_on_fixture_regen(spark, tmp_path):
+    """ADVICE r9 staleness discipline applied to the bucketed pair: a
+    regenerated source fixture (newer mtime) must drop and rewrite the
+    published bucketed layout instead of serving the old rows."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from bigdataprojectspring16_spark.sources.sinks import (
+        ensure_bucketed_pair,
+    )
+
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", fx / f"{t}.parquet")
+
+    names = ensure_bucketed_pair(spark, str(fx))
+    n_before = spark.table(names[1]).count()
+
+    # Regenerate lineitem with half the rows and a strictly newer
+    # mtime (the generator rewrites the file in place).
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{SF_DIR}/lineitem.parquet'
+                  WHERE l_orderkey % 2 = 0)
+            TO '{fx}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    n_new = con.execute(
+        f"SELECT count(*) FROM '{fx}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.close()
+    future = os.path.getmtime(fx / "lineitem.parquet") + 5
+    os.utime(fx / "lineitem.parquet", (future, future))
+
+    names2 = ensure_bucketed_pair(spark, str(fx))
+    assert names2 == names
+    assert spark.table(names2[1]).count() == n_new != n_before
+    # orders was untouched: its layout is fresh and must be reused.
+    assert spark.table(names2[0]).count() == spark.read.parquet(
+        str(fx / "orders.parquet")
+    ).count()
+    for n in names2:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
