@@ -701,3 +701,18 @@ def test_partitioned_layout_written_once_and_reused(spark):
         if d.startswith(os.path.basename(path) + "_")
     ]
     assert leftovers == []
+
+
+def test_boilerplate_ngrams_is_keyed_agg_only(spark):
+    """The boilerplate census must stay the linear shingle-df shape:
+    every aggregate runs partial (map-side combine) before its final
+    merge, the shingle df join is a plain equi-join (no nested loop),
+    and nothing projects the raw text past the shingle explode."""
+    from bigdataprojectspring16_spark.llmops import text as text_mod
+
+    plan = _physical(text_mod.text_boilerplate_ngrams(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation before every exchange: Spark marks the
+    # map-side half of a two-phase hash aggregate as partial_*.
+    assert "partial_count" in plan or "partial_sum" in plan
