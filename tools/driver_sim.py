@@ -86,6 +86,11 @@ for name in sorted(only or queries):
     if not ok:
         fails.append(name)
 
-print(f"\n{len(queries)} queries, {len(fails)} fails, {len(rows_only)} rows-only")
+# Subset runs must say so: "N queries, 0 fails" after a 3-key run
+# used to print the FULL registry count (the verify-skill caveat) —
+# a receipt could read as a full pass when it wasn't.
+ran = len(only or queries)
+scope = "" if not only else f" (subset of {len(queries)}-key registry)"
+print(f"\n{ran} queries{scope}, {len(fails)} fails, {len(rows_only)} rows-only")
 if fails:
     sys.exit(1)
