@@ -360,9 +360,10 @@ def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
                         OR o_totalprice > q3 + 1.5 * (q3 - q1)
                       THEN 1 END) AS n_outliers,
-           round(sum(CASE WHEN o_totalprice >= q1 - 1.5 * (q3 - q1)
-                           AND o_totalprice <= q3 + 1.5 * (q3 - q1)
-                          THEN o_totalprice END), 2) AS sum_kept
+           CAST(sum(CASE WHEN o_totalprice >= q1 - 1.5 * (q3 - q1)
+                          AND o_totalprice <= q3 + 1.5 * (q3 - q1)
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     END) AS DOUBLE) / 100.0 AS sum_kept
     FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
     GROUP BY o.o_orderpriority
     """,
@@ -393,8 +394,18 @@ def clean_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.count(F.when(out, 1)).alias("n_outliers"),
-            F.round(
-                F.sum(F.when(~out, F.col("o_totalprice"))), 2
+            # Money-grid sum (functions/money.py): the float form
+            # round(sum(double), 2) flipped the last cent at sf10
+            # where kept totals reach ~7.5e11 (the §MONEY
+            # magnitude-triggered class — caught by the r10 batch-3
+            # decade audit, green at every smaller SF). Exact integer
+            # cents sum in any order; /100 is exact below 2^53.
+            (
+                money.sum_exact(
+                    F.when(~out, money.cents(F.col("o_totalprice")))
+                )
+                .cast("double")
+                / 100.0
             ).alias("sum_kept"),
         )
     )
