@@ -37,24 +37,25 @@ _DRIVER_WINDOW_PRIORITY = [
     # cohort and re-verify the one key whose code changed AFTER its
     # newest driver check. Derived by unioning CORRECTNESS_r01..r09
     # key sets and keeping each key's newest round: histogram is
-    # r5:21, r6:42, r7:40, r8:50, r9:50. Window = the 3 new keys + 3
-    # changed-code keys + the remaining 20 r5 keys + the 24
+    # r5:21, r6:42, r7:40, r8:50, r9:50. Window = the 4 new keys + 3
+    # changed-code keys + the remaining 20 r5 keys + the 23
     # alphabetically-first of the 39 ORACLE-KEYED r6 keys. Left for
-    # r11: the 15 remaining oracle-keyed r6 keys (tpch_q3/q5..q9,
-    # tpch_q17/q18/q19/q20, window_* five) plus the 3 sanctioned rows-only
+    # r11: the 16 remaining oracle-keyed r6 keys (tpch_q3/q5..q9,
+    # tpch_q15/q17/q18/q19/q20, window_* five) plus the 3 sanctioned rows-only
     # keys (agg_approx_distinct, stream_watermark_late,
     # stream_dedup_watermark — weakest-signal checks, and their
     # semantics are pinned by the census twins checked r9).
     # -- group 0: the never-driver-checked keys added this round
     # (scan_dpp_orders_month, join_bucketed_colocated,
-    # text_boilerplate_ngrams), then changed-code keys
+    # text_boilerplate_ngrams, scan_schema_evolution), then
+    # changed-code keys
     # (agg_conditional's exact-cents fix landed after its last check;
     # the r10 partitioned-layout cache-keying fix touches
     # scan_partitioned_pruned; clean_outlier_iqr's sum_kept moved to
     # the exact cents grid after the sf10 batch-3 audit caught a
     # cent flip), then the rest of the 21 r5-stale keys --
     "scan_dpp_orders_month", "join_bucketed_colocated",
-    "text_boilerplate_ngrams",
+    "text_boilerplate_ngrams", "scan_schema_evolution",
     "agg_conditional", "scan_partitioned_pruned", "clean_outlier_iqr",
     "agg_corr_covar", "agg_distinct_count", "agg_listagg",
     "dedup_embedding_cosine", "dedup_minhash_lsh",
@@ -64,7 +65,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_right_outer", "join_semi", "project_compute",
     "scan_parquet", "scan_with_pushdown", "sim_ivf_recall_audit",
     "sim_ivf_topk",
-    # -- group 1: 24 of the 39 oracle-keyed r6-stale keys --
+    # -- group 1: 23 of the 39 oracle-keyed r6-stale keys --
     "agg_bool_and_or", "agg_histogram_bins", "agg_max_by",
     "agg_mode", "agg_skew_kurtosis", "clean_outlier_zscore",
     "events_anomaly_mad", "events_decayed_user_value",
@@ -74,7 +75,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_stateful_counter", "text_bm25_topk",
     "tpch_q10_returned_items", "tpch_q11_important_stock",
     "tpch_q12_ship_delay_priority", "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
 ]
 
 

@@ -709,3 +709,74 @@ def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+def evolved_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """Orders as ONE layout holding TWO parquet batches with DIFFERENT
+    schemas — the schema-evolution reality of any long-lived 100 TB
+    lake (writers upgraded mid-stream; old files never rewritten).
+
+    Batch 0 ("legacy writer", the deterministic 1/3 of orders with
+    ``knuth_hash(o_orderkey, 3) = 0``) is written WITHOUT
+    ``o_orderpriority``; batch 1 carries the full schema and is
+    appended to the same directory. Published write-once with the
+    standard ``_SUCCESS``/mtime discipline."""
+
+    def write(o, staging):
+        legacy = knuth_hash(F.col("o_orderkey"), 3) == 0
+        o.where(legacy).drop("o_orderpriority").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        o.where(~legacy).write.mode("append").parquet(staging)
+
+    return _publish_partitioned_layout(
+        spark, sf_dir, "orders", "orders_evolved", write
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN {knuth_hash_sql('o_orderkey', 3)} = 0 THEN 'LEGACY'
+                ELSE o_orderpriority END AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: order count + exact-cents revenue per
+    priority over a layout whose legacy files PREDATE the
+    ``o_orderpriority`` column (``evolved_orders_path``) — legacy rows
+    surface as NULL and are reported as the 'LEGACY' tier.
+
+    The read follows the production rule for evolved lakes: the
+    EVOLVED schema comes from the catalog (here: the source table's
+    schema) and is passed explicitly, so old files resolve missing
+    columns to NULL with no inference pass and no failure on an empty
+    layout. ``mergeSchema=true`` footer-union inference discovers the
+    same schema (equality pinned in tests/test_r10_operators.py) but
+    costs a footer read per file at 100 TB — discovery tool, not a
+    steady-state plan. The oracle states the logical spec over the
+    flat table via the same deterministic batch split: the layout
+    detour must be semantically invisible.
+    """
+    full_schema = load_table(spark, sf_dir, "orders").schema
+    df = spark.read.schema(full_schema).parquet(
+        evolved_orders_path(spark, sf_dir)
+    )
+    return (
+        df.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("LEGACY")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                money.sum_exact(money.cents(F.col("o_totalprice")))
+                .cast("double") / 100.0
+            ).alias("revenue"),
+        )
+    )

@@ -58,3 +58,41 @@ def test_boilerplate_no_shingled_docs_is_empty(spark, monkeypatch):
     )
     monkeypatch.setattr(text_mod, "load_table", lambda _s, _d, _n: docs)
     assert text_mod.text_boilerplate_ngrams(spark, "ignored").count() == 0
+
+
+def test_schema_evolution_mergeschema_discovers_same_result(spark):
+    """The declared key reads with the explicit evolved (catalog)
+    schema; mergeSchema footer-union discovery must see the same
+    columns and produce the identical census."""
+    from pyspark.sql import functions as F
+
+    from bigdataprojectspring16_spark.functions import money
+    from bigdataprojectspring16_spark.operators import scans
+    from bigdataprojectspring16_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = scans.evolved_orders_path(spark, sf)
+    full_cols = {f.name for f in load_table(spark, sf, "orders").schema}
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert {f.name for f in merged.schema} == full_cols
+
+    via_merge = {
+        r.priority: (r.n_orders, r.revenue)
+        for r in merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                money.sum_exact(money.cents(F.col("o_totalprice")))
+                .cast("double") / 100.0
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    declared = {
+        r.priority: (r.n_orders, r.revenue)
+        for r in scans.scan_schema_evolution(spark, sf).collect()
+    }
+    assert via_merge == declared
+    assert "LEGACY" in declared and declared["LEGACY"][0] > 0
