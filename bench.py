@@ -87,6 +87,10 @@ HEADLINE = [
     # join-back), a plan class the headline otherwise samples only
     # through tf-idf.
     "text_boilerplate_ngrams",
+    # NEW r10 source key: the mixed-schema (evolved) layout read —
+    # explicit-catalog-schema scan over files that predate a column
+    # (the layout write lands in the untimed warmup pass).
+    "scan_schema_evolution",
 ]
 
 #: r5 addition: the TPC-H completion set (operators/tpch.py) — the 12
