@@ -890,7 +890,15 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = sh.groupBy("shingle").agg(
         F.count_distinct("doc_id").alias("df")
     )
-    occ = sh.join(df_counts, "shingle")
+    # The df side is DATA-PROPORTIONAL (one row per distinct shingle),
+    # but Catalyst's static size estimate for an aggregate is small
+    # enough to pick a broadcast join — and a statically-chosen
+    # broadcast is not demotable by AQE, so the plan OOMs the driver
+    # once the shingle vocabulary outgrows the heap (caught by the
+    # sf10 family audit: ~23M distinct shingles). Hint the join-back
+    # to sort-merge: both sides shuffle on the shingle key it is
+    # already aggregated by.
+    occ = sh.join(df_counts.hint("merge"), "shingle")
     per_doc = occ.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("total_occ"),
         F.sum(F.when(F.col("df") >= 3, 1).otherwise(0)).alias("boiler_occ"),
