@@ -173,10 +173,12 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The spine comes from ``sequence(min_day, max_day)`` + ``explode``
     — generated from one global min/max aggregate, so it is days-sized
-    regardless of event volume; Catalyst broadcasts spine×types onto
-    the (already aggregated, days×types-sized) daily counts. At 100 TB
-    the only big-data stage is the daily pre-aggregation, one
-    two-phase shuffle on (day, type).
+    regardless of event volume. Every join side here is DECLARED
+    broadcast (the session's earned-broadcast rule: no static-estimate
+    broadcasts): ``types`` is enum-bounded and ``daily`` is bounded by
+    calendar × enum — both independent of event volume, so the hints
+    hold at 100 TB. The only big-data stage is the daily
+    pre-aggregation, one two-phase shuffle on (day, type).
     """
     ev = load_table(spark, sf_dir, "events")
     day = F.to_date(F.col("ts"))
@@ -190,8 +192,8 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return (
-        spine.crossJoin(types)
-        .join(daily, ["day", "event_type"], "left")
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(daily), ["day", "event_type"], "left")
         .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n_events"))
     )
 

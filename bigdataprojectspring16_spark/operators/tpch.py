@@ -606,8 +606,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip (VERDICT r5 item 6); ties (multiple suppliers at the max)
     are all returned, per spec. The display double derives from the
     same exact cents. Catalyst rewrites the crossJoin + cents
-    equality into a 1-row BroadcastHashJoin (guarded in
-    test_plan_shapes).
+    equality into a 1-row BroadcastHashJoin, and the max-filtered
+    frame (provably ≤ the tie count) is DECLARED broadcast for the
+    supplier join — supplier grows with SF, the winners don't
+    (earned-broadcast rule, session.py r10). Guarded in
+    test_plan_shapes.
     """
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -618,9 +621,12 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _div_half_up(_sum_exact(_rev_e4()), 100).alias("rev_cents")
     )
     top = revenue.agg(F.max("rev_cents").alias("max_cents"))
-    return (
+    winners = (
         revenue.crossJoin(F.broadcast(top))
         .where(F.col("rev_cents") == F.col("max_cents"))
+    )
+    return (
+        F.broadcast(winners)
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",

@@ -54,10 +54,17 @@ def test_orderby_limit_is_take_ordered(spark):
 
 
 def test_multiway_star_broadcasts_all_dims(spark):
-    """All small sides of the 6-way star join broadcast (no shuffle
-    exchange for nation/region/supplier at this scale)."""
-    plan = _physical(joins.join_multiway_star(spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 3
+    """Broadcasts are earned, never guessed (session.py r10): the two
+    CONSTANT-size dims (nation, region) broadcast by declared hint in
+    the initial plan; supplier — which grows with SF — must NOT be a
+    static-estimate broadcast, but AQE promotes it from its MEASURED
+    size at this scale, so the final adaptive plan broadcasts ≥ 3."""
+    df = joins.join_multiway_star(spark, SF_DIR)
+    assert _physical(df).count("BroadcastHashJoin") >= 2
+    df.collect()  # materialize so AQE finalizes the adaptive plan
+    final = _physical(df)
+    assert "isFinalPlan=true" in final
+    assert final.count("BroadcastHashJoin") >= 3
 
 
 #: Keys whose ONLY unpartitioned window runs over a provably
@@ -536,14 +543,24 @@ def test_tpch_q11_agg_keeps_full_key_parallelism(spark):
 def test_bm25_is_filtered_broadcast_take_ordered(spark):
     """BM25's fact-sized stages must stay lean: the token stream
     filters to the 3 query terms before its aggregate, the stats/df
-    frames join as broadcasts (no shuffled join for 1-row frames),
-    and the top-10 is a TakeOrderedAndProject — never a global
-    sort."""
-    plan = _physical(QUERIES["text_bm25_topk"](spark, SF_DIR))
+    1-row frames join as DECLARED broadcasts, and the top-10 is a
+    TakeOrderedAndProject — never a global sort. The tf⋈dl join side
+    is QUERY-DEPENDENT (a stopword query matches the whole corpus),
+    so it must not be a static broadcast; at this scale AQE promotes
+    it from its measured size in the final adaptive plan (the
+    session's earned-broadcast rule)."""
+    df = QUERIES["text_bm25_topk"](spark, SF_DIR)
+    plan = _physical(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2  # two 1-row frames
     assert "CartesianProduct" not in plan
-    assert "Sort " not in plan.replace("SortMergeJoin", "")
+    df.collect()
+    # executedPlan().toString() prints the FINAL adaptive plan followed
+    # by an "== Initial Plan ==" section — assert on the final part.
+    final = _physical(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final  # tf⋈dl, earned at runtime
+    assert "SortMergeJoin" not in final
 
 
 def test_pack_sequences_prefix_sum_is_sharded(spark):
