@@ -45,6 +45,14 @@ assert len(rows) > 0
 
 # --- t2 oracle gate ---
 con = duckdb.connect()
+# An IN-MEMORY DuckDB has no temp_directory, so out-of-core operators
+# cannot spill — a decade-scale oracle (e.g. simhash's 200M-row
+# nibble stream at sf10) dies with a bad-allocation OOM instead of
+# offloading. Give it a spill dir and a bounded share of RAM so the
+# oracle side degrades to disk, never to a crash (and never starves
+# the concurrently-running Spark JVM).
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 

@@ -81,6 +81,10 @@ SAMPLE_COLUMN = {
 def main() -> int:
     spark = get_session("full-output-sample-audit")
     con = duckdb.connect()
+    # spill dir + bounded RAM: an in-memory DuckDB cannot
+    # offload without a temp_directory (driver_sim.py rule)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "

@@ -56,6 +56,10 @@ def main() -> int:
     # import ALL_PAIRS_KEYS without triggering a sample build + run)
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    # spill dir + bounded RAM: an in-memory DuckDB cannot
+    # offload without a temp_directory (driver_sim.py rule)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
     con.execute(
         f"COPY (SELECT * FROM '{SRC}/documents.parquet' "
         f"WHERE hash(doc_id) % {MOD} = 0 ORDER BY doc_id) "
