@@ -511,22 +511,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash",
     oracle="""
+    -- One-pass 32-accumulator form, mirroring the Spark side: the
+    -- earlier toks x 32 cross join materialized an 800M-row stream at
+    -- sf10 and OOMed the oracle even with spilling; 32 agg columns
+    -- over the 25M-token stream is the same math at 1/32 the rows.
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        SELECT doc_id, md5(term) AS h FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
     ),
     bitacc AS (
-        SELECT doc_id, j,
-            sum(2 * ((strpos('0123456789abcdef',
-                             substr(md5(term), j // 4 + 1, 1)) - 1)
-                     // CAST(power(2, 3 - (j % 4)) AS INT) % 2) - 1) AS acc
-        FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
-        GROUP BY doc_id, j
+        SELECT doc_id,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 8) % 2) - 1) AS acc0,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 4) % 2) - 1) AS acc1,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 2) % 2) - 1) AS acc2,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 1) % 2) - 1) AS acc3,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) // 8) % 2) - 1) AS acc4,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) // 4) % 2) - 1) AS acc5,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) // 2) % 2) - 1) AS acc6,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) // 1) % 2) - 1) AS acc7,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) // 8) % 2) - 1) AS acc8,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) // 4) % 2) - 1) AS acc9,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) // 2) % 2) - 1) AS acc10,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) // 1) % 2) - 1) AS acc11,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) // 8) % 2) - 1) AS acc12,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) // 4) % 2) - 1) AS acc13,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) // 2) % 2) - 1) AS acc14,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) // 1) % 2) - 1) AS acc15,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) // 8) % 2) - 1) AS acc16,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) // 4) % 2) - 1) AS acc17,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) // 2) % 2) - 1) AS acc18,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) // 1) % 2) - 1) AS acc19,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 6, 1)) - 1) // 8) % 2) - 1) AS acc20,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 6, 1)) - 1) // 4) % 2) - 1) AS acc21,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 6, 1)) - 1) // 2) % 2) - 1) AS acc22,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 6, 1)) - 1) // 1) % 2) - 1) AS acc23,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) // 8) % 2) - 1) AS acc24,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) // 4) % 2) - 1) AS acc25,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) // 2) % 2) - 1) AS acc26,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) // 1) % 2) - 1) AS acc27,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 8, 1)) - 1) // 8) % 2) - 1) AS acc28,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 8, 1)) - 1) // 4) % 2) - 1) AS acc29,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 8, 1)) - 1) // 2) % 2) - 1) AS acc30,
+           sum(2 * (((strpos('0123456789abcdef', substr(h, 8, 1)) - 1) // 1) % 2) - 1) AS acc31
+        FROM toks GROUP BY doc_id
     ),
     fp AS (
-        SELECT doc_id,
-               string_agg(CASE WHEN acc > 0 THEN '1' ELSE '0' END,
-                          '' ORDER BY j) AS bits
-        FROM bitacc GROUP BY doc_id
+        SELECT doc_id, concat(CASE WHEN acc0 > 0 THEN '1' ELSE '0' END, CASE WHEN acc1 > 0 THEN '1' ELSE '0' END, CASE WHEN acc2 > 0 THEN '1' ELSE '0' END, CASE WHEN acc3 > 0 THEN '1' ELSE '0' END, CASE WHEN acc4 > 0 THEN '1' ELSE '0' END, CASE WHEN acc5 > 0 THEN '1' ELSE '0' END, CASE WHEN acc6 > 0 THEN '1' ELSE '0' END, CASE WHEN acc7 > 0 THEN '1' ELSE '0' END, CASE WHEN acc8 > 0 THEN '1' ELSE '0' END, CASE WHEN acc9 > 0 THEN '1' ELSE '0' END, CASE WHEN acc10 > 0 THEN '1' ELSE '0' END, CASE WHEN acc11 > 0 THEN '1' ELSE '0' END, CASE WHEN acc12 > 0 THEN '1' ELSE '0' END, CASE WHEN acc13 > 0 THEN '1' ELSE '0' END, CASE WHEN acc14 > 0 THEN '1' ELSE '0' END, CASE WHEN acc15 > 0 THEN '1' ELSE '0' END, CASE WHEN acc16 > 0 THEN '1' ELSE '0' END, CASE WHEN acc17 > 0 THEN '1' ELSE '0' END, CASE WHEN acc18 > 0 THEN '1' ELSE '0' END, CASE WHEN acc19 > 0 THEN '1' ELSE '0' END, CASE WHEN acc20 > 0 THEN '1' ELSE '0' END, CASE WHEN acc21 > 0 THEN '1' ELSE '0' END, CASE WHEN acc22 > 0 THEN '1' ELSE '0' END, CASE WHEN acc23 > 0 THEN '1' ELSE '0' END, CASE WHEN acc24 > 0 THEN '1' ELSE '0' END, CASE WHEN acc25 > 0 THEN '1' ELSE '0' END, CASE WHEN acc26 > 0 THEN '1' ELSE '0' END, CASE WHEN acc27 > 0 THEN '1' ELSE '0' END, CASE WHEN acc28 > 0 THEN '1' ELSE '0' END, CASE WHEN acc29 > 0 THEN '1' ELSE '0' END, CASE WHEN acc30 > 0 THEN '1' ELSE '0' END, CASE WHEN acc31 > 0 THEN '1' ELSE '0' END) AS bits
+        FROM bitacc
     ),
     bands AS (
         SELECT doc_id, bits, b AS band, substr(bits, b * 8 + 1, 8) AS sig
