@@ -78,7 +78,8 @@ def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         count(nullif(l_discount, 0.0)) AS n_discounted,
         count(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 END)
             AS n_zero_discount,
-        round(sum(coalesce(nullif(l_discount, 0.0), 0.0)), 6) AS sum_discount
+        CAST(sum(CAST(round(coalesce(nullif(l_discount, 0.0), 0.0) * 100)
+                      AS BIGINT)) AS DOUBLE) / 100.0 AS sum_discount
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -89,14 +90,25 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``nullif(l_discount, 0.0)`` manufactures NULLs; count() skips
     them, the CASE counts them, coalesce restores them — exercising
     IS NULL / IS NOT NULL / null-skipping aggregation semantics.
+
+    sum_discount rides the exact integer 0.01-grid (functions/money.py
+    pct): the float form round(sum(double), 6) flipped the sixth
+    decimal at sf10 where ~19M grid values sum to ~1e6 (the §MONEY
+    magnitude class, caught by the r10 batch-3 decade audit — third
+    catch of that audit).
     """
+    from ..functions import money
+
     li = load_table(spark, sf_dir, "lineitem")
     d = F.nullif(F.col("l_discount"), F.lit(0.0))
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(d).alias("n_discounted"),
         F.count(F.when(d.isNull(), 1)).alias("n_zero_discount"),
-        F.round(F.sum(F.coalesce(d, F.lit(0.0))), 6).alias("sum_discount"),
+        (
+            money.sum_exact(money.pct(F.coalesce(d, F.lit(0.0))))
+            .cast("double") / 100.0
+        ).alias("sum_discount"),
     )
 
 
