@@ -134,3 +134,26 @@ def test_cc_star_impl_rejects_unknown_value(spark):
     with knob(spark, graph.CC_STAR_IMPL_CONF, "bogus"):
         with pytest.raises(ValueError, match="ccStarImpl"):
             QUERIES["graph_connected_components"](spark, SF_DIR)
+
+
+def test_barrier_storage_knob(spark):
+    """barrierStorage=disk routes local barriers to DISK_ONLY blocks;
+    the default is Spark's stock level; junk values raise."""
+    import pytest
+    from pyspark.storagelevel import StorageLevel
+
+    from bigdataprojectspring16_spark.plans import barriers
+
+    assert barriers._local_barrier_level(spark) is None
+    with barriers.knob(spark, barriers.BARRIER_STORAGE_CONF, "disk"):
+        assert (
+            barriers._local_barrier_level(spark) == StorageLevel.DISK_ONLY
+        )
+        # and the barrier itself still materializes + truncates lineage
+        df = barriers.barrier(
+            spark.range(100).selectExpr("id", "id * 2 AS v"), eager=True
+        )
+        assert df.count() == 100
+    with barriers.knob(spark, barriers.BARRIER_STORAGE_CONF, "junk"):
+        with pytest.raises(ValueError):
+            barriers._local_barrier_level(spark)
