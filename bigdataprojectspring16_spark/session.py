@@ -32,19 +32,27 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Broadcasts are EARNED, never guessed (r10): a broadcast chosen
-    # from Catalyst's STATIC size estimate cannot be demoted by AQE,
-    # and an aggregate's static estimate is routinely tiny for a
-    # data-proportional result — the sf10 family audit crashed exactly
-    # this way (text_boilerplate_ngrams: ~23M-row shingle-df aggregate
-    # statically planned as the build side, driver OOM). Disabling the
-    # static threshold removes the whole class at ANY scale: a join
-    # side is broadcast only when a docstring-audited hint DECLARES it
-    # bounded, or when AQE MEASURES the true map-output size under the
-    # runtime threshold (kept at the stock 10 MB, which the static -1
-    # would otherwise also disable).
+    # Broadcasts are DECLARED, never guessed (r10). Two measured
+    # failure modes retire the guessed paths:
+    # - STATIC estimates: a broadcast chosen from Catalyst's static
+    #   size estimate cannot be demoted by AQE, and an aggregate's
+    #   static estimate is routinely tiny for a data-proportional
+    #   result — the sf10 family audit crashed exactly this way
+    #   (text_boilerplate_ngrams: ~23M-row shingle-df aggregate
+    #   statically planned as the build side, driver OOM).
+    # - RUNTIME (AQE) promotion: its stats for BARRIERED fixpoint
+    #   frames come from cached-block size ESTIMATES, which vary
+    #   run-to-run — the r10 closing bench measured job-count flaps
+    #   on the CC and threshold-sweep pipelines ([63,62,62] /
+    #   [26,27,27]), and deterministic per-key job counts are part
+    #   of this engine's verification contract (BASELINE.md anchors,
+    #   jobs_unstable must stay {}).
+    # So: a join side is broadcast ONLY when a docstring-audited
+    # F.broadcast() hint declares it bounded. Both thresholds are
+    # session confs — a deployment that prefers opportunistic runtime
+    # promotion over plan determinism can raise the adaptive one.
     "spark.sql.autoBroadcastJoinThreshold": "-1",
-    "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     # Arrow for every pandas UDF / applyInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: we want NULL-on-bad-cast like DuckDB's TRY semantics

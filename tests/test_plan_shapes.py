@@ -54,17 +54,18 @@ def test_orderby_limit_is_take_ordered(spark):
 
 
 def test_multiway_star_broadcasts_all_dims(spark):
-    """Broadcasts are earned, never guessed (session.py r10): the two
-    CONSTANT-size dims (nation, region) broadcast by declared hint in
-    the initial plan; supplier — which grows with SF — must NOT be a
-    static-estimate broadcast, but AQE promotes it from its MEASURED
-    size at this scale, so the final adaptive plan broadcasts ≥ 3."""
+    """Broadcasts are declared, never guessed (session.py r10): the
+    two CONSTANT-size dims (nation, region) broadcast by audited hint;
+    supplier — which grows with SF — must NOT broadcast (neither a
+    static estimate nor an AQE promotion exists under the
+    declared-only policy, keeping job counts deterministic)."""
     df = joins.join_multiway_star(spark, SF_DIR)
-    assert _physical(df).count("BroadcastHashJoin") >= 2
-    df.collect()  # materialize so AQE finalizes the adaptive plan
-    final = _physical(df)
+    plan = _physical(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    df.collect()
+    final = _physical(df).split("== Initial Plan ==")[0]
     assert "isFinalPlan=true" in final
-    assert final.count("BroadcastHashJoin") >= 3
+    assert final.count("BroadcastHashJoin") == 2  # exactly the hints
 
 
 #: Keys whose ONLY unpartitioned window runs over a provably
@@ -546,9 +547,8 @@ def test_bm25_is_filtered_broadcast_take_ordered(spark):
     1-row frames join as DECLARED broadcasts, and the top-10 is a
     TakeOrderedAndProject — never a global sort. The tf⋈dl join side
     is QUERY-DEPENDENT (a stopword query matches the whole corpus),
-    so it must not be a static broadcast; at this scale AQE promotes
-    it from its measured size in the final adaptive plan (the
-    session's earned-broadcast rule)."""
+    so under the declared-only broadcast policy it stays a
+    deterministic sort-merge equi-join at every scale."""
     df = QUERIES["text_bm25_topk"](spark, SF_DIR)
     plan = _physical(df)
     assert "TakeOrderedAndProject" in plan
@@ -559,8 +559,8 @@ def test_bm25_is_filtered_broadcast_take_ordered(spark):
     # by an "== Initial Plan ==" section — assert on the final part.
     final = _physical(df).split("== Initial Plan ==")[0]
     assert "isFinalPlan=true" in final
-    assert "BroadcastHashJoin" in final  # tf⋈dl, earned at runtime
-    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" not in final  # no un-declared broadcast
+    assert "SortMergeJoin" in final  # tf⋈dl, deterministic
 
 
 def test_pack_sequences_prefix_sum_is_sharded(spark):
