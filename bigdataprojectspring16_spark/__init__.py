@@ -33,48 +33,48 @@ from .operators import tpch  # noqa: F401
 # (ADVICE r2 discipline): keys whose code changed this round verify
 # FIRST, then the stalest-signal cohort, oldest round first.
 _DRIVER_WINDOW_PRIORITY = [
-    # r10 rotation (VERDICT r9 next-round #1): drain the r5-stale
-    # cohort and re-verify the one key whose code changed AFTER its
-    # newest driver check. Derived by unioning CORRECTNESS_r01..r09
-    # key sets and keeping each key's newest round: histogram is
-    # r5:21, r6:42, r7:40, r8:50, r9:50. Window = the 4 new keys + 3
-    # changed-code keys + the remaining 20 r5 keys + the 23
-    # alphabetically-first of the 39 ORACLE-KEYED r6 keys. Left for
-    # r11: the 16 remaining oracle-keyed r6 keys (tpch_q3/q5..q9,
-    # tpch_q15/q17/q18/q19/q20, window_* five) plus the 3 sanctioned rows-only
-    # keys (agg_approx_distinct, stream_watermark_late,
-    # stream_dedup_watermark — weakest-signal checks, and their
-    # semantics are pinned by the census twins checked r9).
-    # -- group 0: the never-driver-checked keys added this round
-    # (scan_dpp_orders_month, join_bucketed_colocated,
-    # text_boilerplate_ngrams, scan_schema_evolution), then
-    # changed-code keys
-    # (agg_conditional's exact-cents fix landed after its last check;
-    # the r10 partitioned-layout cache-keying fix touches
-    # scan_partitioned_pruned; clean_outlier_iqr's sum_kept moved to
-    # the exact cents grid after the sf10 batch-3 audit caught a
-    # cent flip), then the rest of the 21 r5-stale keys --
-    "scan_dpp_orders_month", "join_bucketed_colocated",
-    "text_boilerplate_ngrams", "scan_schema_evolution",
-    "agg_conditional", "scan_partitioned_pruned", "clean_outlier_iqr",
-    "agg_corr_covar", "agg_distinct_count", "agg_listagg",
-    "dedup_embedding_cosine", "dedup_minhash_lsh",
-    "dedup_near_jaccard", "filter_compound",
-    "filter_null_semantics", "join_anti", "join_asof_forward",
-    "join_broadcast", "join_left_outer", "join_range_interval",
-    "join_right_outer", "join_semi", "project_compute",
-    "scan_parquet", "scan_with_pushdown", "sim_ivf_recall_audit",
-    "sim_ivf_topk",
-    # -- group 1: 23 of the 39 oracle-keyed r6-stale keys --
-    "agg_bool_and_or", "agg_histogram_bins", "agg_max_by",
-    "agg_mode", "agg_skew_kurtosis", "clean_outlier_zscore",
-    "events_anomaly_mad", "events_decayed_user_value",
-    "events_funnel", "join_asof_nearest", "join_multiway_star",
-    "limit_topk", "orders_abc_by_segment", "orders_rfm_segments",
-    "retention_cohorts", "stream_session", "stream_sliding",
-    "stream_stateful_counter", "text_bm25_topk",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_ship_delay_priority", "tpch_q14_promo_share",
+    # r11 rotation (VERDICT r10 next-round #1): drain the r6-stale
+    # cohort entirely, then start on r7. Derived by unioning
+    # CORRECTNESS_r01..r10 key sets and keeping each key's newest
+    # round: histogram is r6:19, r7:40, r8:48, r9:50, r10:50.
+    # Window = 1 changed-code key + all 19 r6 keys (16 oracle-keyed
+    # TPC-H/window keys + the 3 sanctioned rows-only keys, which get
+    # the weaker rows>0 check refreshed) + the 30 alphabetically-first
+    # of the 40 r7 keys. Left for r12: the 10 remaining r7 keys
+    # (set_except, set_intersect, set_union_all, set_union_distinct,
+    # timeseries_gap_fill, tpch_q16_supplier_cnt, udaf_geomean,
+    # udf_grouped_zscore, udf_scalar_python, udtf_surface), then the
+    # 48-key r8 cohort.
+    # Changed-code keys this round are promoted to the head of the
+    # list per the standing rule (ADVICE r2 discipline).
+    # -- group 0: keys whose code changed in r11 after their newest
+    # driver check (graph_pagerank_rounds: two-level exact inflow
+    # aggregation closing the sf10 8 g envelope) --
+    "graph_pagerank_rounds",
+    # -- group 1: the 19 r6-stale keys, oracle-keyed first --
+    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_lead_promo_suppliers", "tpch_q3_topk",
+    "tpch_q5_local_supplier_volume", "tpch_q6_revenue_delta",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "window_first_last",
+    "window_lag_lead", "window_ntile_percent", "window_rank_topn",
+    "window_running_total", "agg_approx_distinct",
+    "stream_dedup_watermark", "stream_watermark_late",
+    # -- group 2: 30 of the 40 r7-stale keys, alphabetical --
+    "agg_cube", "agg_global", "agg_grouping_sets",
+    "agg_pricing_summary", "agg_rollup", "array_ops",
+    "clean_impute_nulls", "clean_winsorize",
+    "custdist_two_level_agg", "dedup_keep_best",
+    "dedup_latest_by_key", "distinct_exact",
+    "docs_curation_pipeline", "embeddings_pca_power",
+    "events_dau_stickiness", "events_moving_avg_7d",
+    "events_transition_matrix", "explode_wordcount",
+    "graph_cluster_keep_best", "graph_connected_components",
+    "join_interval_self_overlap", "join_null_safe",
+    "map_from_entries", "map_hof", "pivot_event_types",
+    "sample_class_balanced", "sample_domain_cap",
+    "scalar_conditional", "scalar_date", "scalar_string",
 ]
 
 
