@@ -74,6 +74,45 @@ PAGERANK_EDGE_BUILD_CONF = (
     "spark.bigdataprojectspring16.pagerankEdgeBuild"
 )
 
+#: r11 (VERDICT r10 item 2 — the sf10/8 g envelope): every fact-sized
+#: aggregate in graph_pagerank_rounds (edge-set distinct, node-set
+#: distinct, degree count, per-round inflow sum) is preceded by an
+#: explicit hash repartition on its GROUP KEY at
+#: session.pinned_stage_width. Without it, the partial (map-side)
+#: hash aggregation runs on whatever partitioning the upstream stage
+#: left (AQE-coalesced ~64 MB join slices at sf10), so each task's
+#: BytesToBytesMap grows toward |nodes| DISTINCT keys — ~100-200 MB
+#: x 32 concurrent tasks — and under session memory pressure
+#: (unevictable barrier blocks + a long driver-sim batch) the map
+#: cannot even allocate its initial page: the measured
+#: AGGREGATE_OUT_OF_MEMORY / UNABLE_TO_ACQUIRE_MEMORY failure
+#: (tools/receipts/sf10_family_audit_b3A4_r10.txt, stage 144). With
+#: the repartition, the aggregate runs AFTER the exchange on
+#: key-sliced partitions (≤ |nodes|/width distinct keys per task),
+#: so per-task aggregation state is bounded BY CONSTRUCTION — the
+#: same pinned-width discipline that closed the threshold-sweep 8 g
+#: caveat in r10. MEASURED VERDICT (r11, local[32], results
+#: hash-identical in every arm): sharding LOSES wall at every decade
+#: — sf0.1 9.1 s vs 5.7 s (+60%), sf1 52-55 s vs 15-17 s (+240%),
+#: sf10/8 g 923 s vs 293 s (+215%) — because the skipped map-side
+#: combine (distinct-pair dedup + per-order contribution folding)
+#: shrinks the shuffled edge volume far more than the r11 estimate
+#: assumed, and the full-width un-combined shuffles thrash the same
+#: memory the shard was meant to protect. Meanwhile the supposed 8 g
+#: blocker dissolved on the final r10 tree: the b3A4 OOM receipt
+#: predates the r10-late declared-only-broadcast policy, and the
+#: full-universe sf10 run now completes standalone at the default
+#: 8 g heap unsharded (tools/receipts, r11). So the default is
+#: ``off``; ``on`` remains the tested bounded-state arm (per-task
+#: aggregation maps ≤ |keys|/width by construction) for a
+#: memory-starved shared session that prefers spill-proof wall over
+#: speed, and ``auto`` shards only when the autosizer has raised
+#: width ≥ 8x parallelism (the decade regime).
+PAGERANK_SHARDED_AGG = "off"
+PAGERANK_SHARDED_AGG_CONF = (
+    "spark.bigdataprojectspring16.pagerankShardedAgg"
+)
+
 #: Star-round implementation for the CC fixpoint: "window" (default,
 #: r7) computes each round's neighborhood minimum with ONE window
 #: aggregate over the edge frame — one shuffle per star — where the
@@ -557,10 +596,38 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop; the final top-20 is a distributed TakeOrdered under the
     total (pr DESC, pid) order.
     """
+    from ..session import pinned_stage_width
+
     li = load_table(spark, sf_dir, "lineitem")
     mat = conf_knob(
         spark, MATERIALIZE_INVARIANTS_CONF, MATERIALIZE_INVARIANTS
     )
+    shard_mode = str(
+        spark.conf.get(PAGERANK_SHARDED_AGG_CONF, None)
+        or PAGERANK_SHARDED_AGG
+    ).lower()
+    if shard_mode not in ("auto", "on", "off"):
+        raise ValueError(
+            f"{PAGERANK_SHARDED_AGG_CONF}={shard_mode!r}: "
+            "expected auto | on | off"
+        )
+    width = pinned_stage_width(spark)
+    # auto: shard only in the decade regime — the autosizer has raised
+    # shuffle width ≥ 8x the scheduler's parallelism (sf1 → 1024,
+    # sf10 → 4096 at local[32]; sf0.1's 64 stays unsharded, keeping
+    # the bench plan and its measured 5.7 s wall). Below that, every
+    # task's aggregation map fits comfortably and the map-side
+    # combine is worth keeping.
+    sharded = shard_mode == "on" or (
+        shard_mode == "auto"
+        and width >= 8 * spark.sparkContext.defaultParallelism
+    )
+
+    def shard(df: DataFrame, *cols: str) -> DataFrame:
+        """Key-slice an aggregate's input so its per-task hash map is
+        bounded by |keys|/width (see PAGERANK_SHARDED_AGG)."""
+        return df.repartition(width, *cols) if sharded else df
+
     strategy = (
         spark.conf.get(PAGERANK_EDGE_BUILD_CONF, None) or PAGERANK_EDGE_BUILD
     )
@@ -605,6 +672,7 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("p")
             )
             .select("p.u", "p.v")
+            .transform(lambda df: shard(df, "u", "v"))
             .distinct()
         )
         if mat:
@@ -623,14 +691,17 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.join(b, "okey")
             .where(F.col("u") != F.col("v"))
             .select("u", "v")
+            .transform(lambda df: shard(df, "u", "v"))
             .distinct()
         )
         if mat:
             e0 = barrier(e0)
-    nodes = li.select(F.col("l_partkey").alias("pid")).distinct()
+    nodes = shard(
+        li.select(F.col("l_partkey").alias("pid")), "pid"
+    ).distinct()
     if mat:
         nodes = barrier(nodes)
-    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    deg = shard(e0, "u").groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     if mat:
         deg = barrier(deg)
     ranks = nodes.select("pid", F.lit(1.0).alias("pr"))
@@ -641,15 +712,18 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact BIGINTs (bound: Σ pr/d ≤ Σ pr = N per target, see
         # _pagerank_round_sql — long-sum speed, no decimal cliff),
         # so no order-dependent float survives the round.
-        inflow = (
+        contrib = (
             e0.join(ranks.withColumnRenamed("pid", "u"), "u")
             .join(deg, "u")
-            .groupBy(F.col("v").alias("pid"))
-            .agg(
-                F.sum(
-                    F.floor(F.col("pr") / F.col("d") * F.lit(1e9))
-                ).alias("inflow_q")
+            .select(
+                F.col("v").alias("pid"),
+                F.floor(F.col("pr") / F.col("d") * F.lit(1e9)).alias("c_q"),
             )
+        )
+        inflow = (
+            shard(contrib, "pid")
+            .groupBy("pid")
+            .agg(F.sum("c_q").alias("inflow_q"))
         )
         ranks = nodes.join(inflow, "pid", "left").select(
             "pid",

@@ -71,23 +71,31 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
     orderkey join needs NO exchange on either side. Table names carry
     a hash of the ABSOLUTE source dir (the ADVICE r9 layout-keying
     rule: distinct fixtures must never share a scratch identity), and
-    creation is serialized by an OS file lock so two processes (bench
-    + driver sim) can never interleave a DROP/overwrite with the
-    other's scan — after the first writer commits, every later call is
-    a catalog lookup.
+    creation is serialized by an OS file lock: writers hold it
+    exclusive, and the fast path re-checks freshness under a SHARED
+    lock (ADVICE r10) so it can never return a layout that a
+    concurrent invalidator is mid-DROP on. The residual window — a
+    regeneration that starts AFTER a reader returned but before it
+    scans — is inherent to returning catalog names rather than data;
+    fixture regeneration should not run concurrently with readers.
 
     Staleness rule (the ADVICE r9 invalidation discipline, same as the
-    partitioned-events layout): a published layout is only reused
-    while its ``_SUCCESS`` is at least as new as the source parquet —
-    a regenerated fixture must never keep serving the old bucketed
-    data. A stale layout is dropped (catalog + files) and rewritten
-    under the lock.
+    partitioned-events layout): each published layout carries a
+    ``_SRC_STAMP`` sidecar recording the source parquet's
+    (size, mtime_ns) at write time; the layout is reused only while
+    the source still matches the stamp (ADVICE r10 — a plain
+    ``mtime >=`` check misses ``cp -p``-style regeneration that
+    preserves timestamps but changes size). Pre-stamp layouts fall
+    back to the mtime comparison. A vanished source (stat fails) is
+    served on faith with a logged warning. A stale layout is dropped
+    (catalog + files) and rewritten under the exclusive lock.
     """
     import fcntl
     import hashlib
     import os
     import shutil
     import tempfile
+    import warnings
 
     from ..tables import load_table, table_path
 
@@ -101,24 +109,62 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
         "spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse"
     ).removeprefix("file:")
 
+    def _src_stat(src: str) -> str | None:
+        try:
+            st = os.stat(table_path(sf_dir, src))
+        except OSError:
+            return None
+        return f"{st.st_size}:{st.st_mtime_ns}"
+
+    def _stamp_path(name: str) -> str:
+        return os.path.join(warehouse, name.lower(), "_SRC_STAMP")
+
+    def _write_stamp(src: str, name: str) -> None:
+        cur = _src_stat(src)
+        if cur is not None:
+            with open(_stamp_path(name), "w") as f:
+                f.write(cur)
+
     def _fresh(src: str, name: str) -> bool:
         success = os.path.join(warehouse, name.lower(), "_SUCCESS")
         if not os.path.exists(success):
             return False
-        try:
-            return os.path.getmtime(success) >= os.path.getmtime(
-                table_path(sf_dir, src)
+        cur = _src_stat(src)
+        if cur is None:
+            warnings.warn(
+                f"bucketed layout {name}: source parquet for {src!r} "
+                "cannot be stat'd — serving the existing layout on faith",
+                stacklevel=2,
             )
+            return True
+        try:
+            with open(_stamp_path(name)) as f:
+                return f.read().strip() == cur
         except OSError:
-            return True  # source vanished — keep serving the layout
+            # Pre-stamp layout: legacy mtime ordering, stamped on next
+            # rewrite.
+            try:
+                return os.path.getmtime(success) >= os.path.getmtime(
+                    table_path(sf_dir, src)
+                )
+            except OSError:
+                return True
 
-    if all(
-        spark.catalog.tableExists(n) and _fresh(s, n) for s, n, _k in plan
-    ):
-        return names
     lock_path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_bucketed_{tag}.lock"
     )
+    if all(
+        spark.catalog.tableExists(n) and _fresh(s, n) for s, n, _k in plan
+    ):
+        # Confirm under a shared lock: excludes a writer holding the
+        # exclusive lock mid-invalidation (ADVICE r10).
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_SH)
+            try:
+                if all(_fresh(s, n) for s, n, _k in plan):
+                    return names
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
     with open(lock_path, "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
@@ -146,6 +192,7 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
                         f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                         f"INTO 8 BUCKETS LOCATION '{loc}'"
                     )
+                    _write_stamp(src, name)
                     continue
                 shutil.rmtree(loc, ignore_errors=True)
                 write_bucketed_table(
@@ -155,6 +202,7 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
                     num_buckets=8,
                     sort_cols=[key],
                 )
+                _write_stamp(src, name)
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
     return names

@@ -157,3 +157,25 @@ def test_barrier_storage_knob(spark):
     with barriers.knob(spark, barriers.BARRIER_STORAGE_CONF, "junk"):
         with pytest.raises(ValueError):
             barriers._local_barrier_level(spark)
+
+
+def test_pagerank_sharded_agg_all_modes_identical(spark):
+    # r11: the sharded-aggregation arm (explicit group-key
+    # repartition before every fact-sized aggregate) must return the
+    # exact rows of the default partial-aggregation arm — the knob
+    # changes physical partitioning only, never results.
+    with knob(spark, graph.PAGERANK_SHARDED_AGG_CONF, "off"):
+        base = _rows(spark, "graph_pagerank_rounds")
+    with knob(spark, graph.PAGERANK_SHARDED_AGG_CONF, "on"):
+        sharded = _rows(spark, "graph_pagerank_rounds")
+    with knob(spark, graph.PAGERANK_SHARDED_AGG_CONF, "auto"):
+        auto = _rows(spark, "graph_pagerank_rounds")
+    assert base == sharded == auto
+
+
+def test_pagerank_sharded_agg_rejects_bad_value(spark):
+    import pytest as _pytest
+
+    with knob(spark, graph.PAGERANK_SHARDED_AGG_CONF, "sometimes"):
+        with _pytest.raises(ValueError, match="auto | on | off"):
+            _rows(spark, "graph_pagerank_rounds")

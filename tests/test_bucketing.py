@@ -128,3 +128,47 @@ def test_ensure_bucketed_pair_invalidates_on_fixture_regen(spark, tmp_path):
     ).count()
     for n in names2:
         spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_ensure_bucketed_pair_invalidates_on_preserved_mtime(spark, tmp_path):
+    """ADVICE r10: freshness is keyed on a (size, mtime_ns) stamp, so a
+    regeneration that PRESERVES the source mtime (cp -p, coarse-mtime
+    filesystems) but changes content size still invalidates the
+    layout — the mtime-ordering check alone would serve stale rows."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from bigdataprojectspring16_spark.sources.sinks import (
+        ensure_bucketed_pair,
+    )
+
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", fx / f"{t}.parquet")
+
+    names = ensure_bucketed_pair(spark, str(fx))
+    n_before = spark.table(names[1]).count()
+
+    # Regenerate lineitem with half the rows, then PIN the old mtime
+    # back onto the new file (the cp -p scenario).
+    old = os.stat(fx / "lineitem.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{SF_DIR}/lineitem.parquet'
+                  WHERE l_orderkey % 2 = 0)
+            TO '{fx}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    n_new = con.execute(
+        f"SELECT count(*) FROM '{fx}/lineitem.parquet'"
+    ).fetchone()[0]
+    con.close()
+    os.utime(fx / "lineitem.parquet", ns=(old.st_mtime_ns, old.st_mtime_ns))
+
+    names2 = ensure_bucketed_pair(spark, str(fx))
+    assert names2 == names
+    assert spark.table(names2[1]).count() == n_new != n_before
+    for n in names2:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")

@@ -52,7 +52,11 @@ con = duckdb.connect()
 # oracle side degrades to disk, never to a crash (and never starves
 # the concurrently-running Spark JVM).
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
-con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
+# Default cap: 40% of physical RAM (ADVICE r10 — a hardcoded 48GB
+# exceeds memory on smaller hosts, breaking the never-starve-Spark
+# guarantee); DUCKDB_MEM stays the explicit override.
+_default_mem = f"{max(1, os.sysconf('SC_PHYS_PAGES') * os.sysconf('SC_PAGE_SIZE') * 2 // 5 // (1 << 30))}GB"
+con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', _default_mem)}'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
