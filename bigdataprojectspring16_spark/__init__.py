@@ -37,20 +37,22 @@ _DRIVER_WINDOW_PRIORITY = [
     # cohort entirely, then start on r7. Derived by unioning
     # CORRECTNESS_r01..r10 key sets and keeping each key's newest
     # round: histogram is r6:19, r7:40, r8:48, r9:50, r10:50.
-    # Window = 1 changed-code key + all 19 r6 keys (16 oracle-keyed
+    # Window = 2 changed-code keys + all 19 r6 keys (16 oracle-keyed
     # TPC-H/window keys + the 3 sanctioned rows-only keys, which get
-    # the weaker rows>0 check refreshed) + the 30 alphabetically-first
-    # of the 40 r7 keys. Left for r12: the 10 remaining r7 keys
-    # (set_except, set_intersect, set_union_all, set_union_distinct,
-    # timeseries_gap_fill, tpch_q16_supplier_cnt, udaf_geomean,
-    # udf_grouped_zscore, udf_scalar_python, udtf_surface), then the
-    # 48-key r8 cohort.
+    # the weaker rows>0 check refreshed) + the 29 alphabetically-first
+    # of the 40 r7 keys. Left for r12: the 11 remaining r7 keys
+    # (scalar_string, set_except, set_intersect, set_union_all,
+    # set_union_distinct, timeseries_gap_fill, tpch_q16_supplier_cnt,
+    # udaf_geomean, udf_grouped_zscore, udf_scalar_python,
+    # udtf_surface), then the 48-key r8 cohort.
     # Changed-code keys this round are promoted to the head of the
     # list per the standing rule (ADVICE r2 discipline).
     # -- group 0: keys whose code changed in r11 after their newest
-    # driver check (graph_pagerank_rounds: two-level exact inflow
-    # aggregation closing the sf10 8 g envelope) --
-    "graph_pagerank_rounds",
+    # driver check (graph_pagerank_rounds: sharded-aggregate knob for
+    # the sf10 8 g envelope; text_boilerplate_ngrams: n_boiler_shingles
+    # re-derived from the distinct pair set so the fact-sized
+    # shingle<->df merge join runs once, ADVICE r10) --
+    "graph_pagerank_rounds", "text_boilerplate_ngrams",
     # -- group 1: the 19 r6-stale keys, oracle-keyed first --
     "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
@@ -61,7 +63,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_lag_lead", "window_ntile_percent", "window_rank_topn",
     "window_running_total", "agg_approx_distinct",
     "stream_dedup_watermark", "stream_watermark_late",
-    # -- group 2: 30 of the 40 r7-stale keys, alphabetical --
+    # -- group 2: 29 of the 40 r7-stale keys, alphabetical --
     "agg_cube", "agg_global", "agg_grouping_sets",
     "agg_pricing_summary", "agg_rollup", "array_ops",
     "clean_impute_nulls", "clean_winsorize",
@@ -74,7 +76,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_interval_self_overlap", "join_null_safe",
     "map_from_entries", "map_hof", "pivot_event_types",
     "sample_class_balanced", "sample_domain_cap",
-    "scalar_conditional", "scalar_date", "scalar_string",
+    "scalar_conditional", "scalar_date",
 ]
 
 

@@ -91,24 +91,38 @@ PAGERANK_EDGE_BUILD_CONF = (
 #: key-sliced partitions (≤ |nodes|/width distinct keys per task),
 #: so per-task aggregation state is bounded BY CONSTRUCTION — the
 #: same pinned-width discipline that closed the threshold-sweep 8 g
-#: caveat in r10. MEASURED VERDICT (r11, local[32], results
-#: hash-identical in every arm): sharding LOSES wall at every decade
-#: — sf0.1 9.1 s vs 5.7 s (+60%), sf1 52-55 s vs 15-17 s (+240%),
-#: sf10/8 g 923 s vs 293 s (+215%) — because the skipped map-side
-#: combine (distinct-pair dedup + per-order contribution folding)
-#: shrinks the shuffled edge volume far more than the r11 estimate
-#: assumed, and the full-width un-combined shuffles thrash the same
-#: memory the shard was meant to protect. Meanwhile the supposed 8 g
-#: blocker dissolved on the final r10 tree: the b3A4 OOM receipt
-#: predates the r10-late declared-only-broadcast policy, and the
-#: full-universe sf10 run now completes standalone at the default
-#: 8 g heap unsharded (tools/receipts, r11). So the default is
-#: ``off``; ``on`` remains the tested bounded-state arm (per-task
-#: aggregation maps ≤ |keys|/width by construction) for a
-#: memory-starved shared session that prefers spill-proof wall over
-#: speed, and ``auto`` shards only when the autosizer has raised
-#: width ≥ 8x parallelism (the decade regime).
-PAGERANK_SHARDED_AGG = "off"
+#: caveat in r10. MEASURED (r11, local[32], results hash-identical
+#: in every arm): sharding EVERY aggregate loses wall at every
+#: decade — sf0.1 9.1 s vs 5.7 s, sf1 52-55 s vs 15-17 s, sf10/8 g
+#: 923 s vs 293 s — because deg/nodes/inflow genuinely combine
+#: map-side (3-10x) and un-combined full-width shuffles of the
+#: 240M-row edge frame thrash the same memory the shard protects.
+#: But the UNSHARDED sf10/8 g run is FLAKY: the pair-distinct's
+#: partial map (per-task expanded pairs, ~80% distinct — combine
+#: ratio only ~1.25) grows to hundreds of MB x 32 tasks, and 2 of 3
+#: r11 runs died there with AGGREGATE_OUT_OF_MEMORY (stage 14 —
+#: same class as the r10 b3A4 receipt) while the third squeaked
+#: through on storage-eviction luck. Hence ``auto`` (default):
+#: shard ONLY the pair distinct, only when the input-byte autosizer
+#: has raised width ≥ 8x parallelism (the decade regime — fixture
+#: and bench plans untouched). That converts the one
+#: barely-combining, OOM-prone aggregate to bounded key-sliced
+#: state at ~zero extra shuffle volume. The per-round INFLOW sum
+#: joined the auto set after attempt 4: its partial map (distinct
+#: target nodes per AQE-coalesced join slice, ~1.7M keys x 32
+#: tasks) hit the same UNABLE_TO_ACQUIRE_MEMORY wall in round
+#: stages; its sf10 combine ratio (~1.25-3x) makes the un-combined
+#: shuffle a moderate price for bounded maps. deg/nodes keep their
+#: partial aggregation (real 3-30x combine, never a measured
+#: failure site) in auto. In the same
+#: decade regime the loop-invariant barriers go DISK_ONLY (the
+#: deserialized edge blocks alone are ~7 GB at sf10 — unevictable
+#: residency that starved the pool into a plain heap OOM even with
+#: the pair-shard, r11 attempt 3; on one box the re-reads ride the
+#: OS page cache, on a cluster each executor's local disk). ``on`` =
+#: the fully-bounded-state arm (every aggregate sharded + disk
+#: barriers); ``off`` = the pre-r11 plan.
+PAGERANK_SHARDED_AGG = "auto"
 PAGERANK_SHARDED_AGG_CONF = (
     "spark.bigdataprojectspring16.pagerankShardedAgg"
 )
@@ -612,21 +626,47 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected auto | on | off"
         )
     width = pinned_stage_width(spark)
-    # auto: shard only in the decade regime — the autosizer has raised
-    # shuffle width ≥ 8x the scheduler's parallelism (sf1 → 1024,
-    # sf10 → 4096 at local[32]; sf0.1's 64 stays unsharded, keeping
-    # the bench plan and its measured 5.7 s wall). Below that, every
-    # task's aggregation map fits comfortably and the map-side
-    # combine is worth keeping.
-    sharded = shard_mode == "on" or (
-        shard_mode == "auto"
-        and width >= 8 * spark.sparkContext.defaultParallelism
+    # auto: shard ONLY the edge-pair distinct, and only in the decade
+    # regime (autosized width ≥ 8x the scheduler's parallelism — sf1
+    # → 1024, sf10 → 4096 at local[32]; sf0.1's 64 stays unsharded,
+    # keeping the bench plan and its measured 5.7 s wall). The pair
+    # distinct is where the measured 8 g OOM lives: its partial map
+    # holds the task's expanded pairs, which are ~80% DISTINCT
+    # (combine ratio ~1.25), so the map grows to hundreds of MB per
+    # task while the skipped combine costs almost no extra shuffle
+    # volume — sharding it is nearly free and removes the failure.
+    # deg/nodes/inflow keep their partial aggregation in auto: their
+    # combine ratios are real (3-10x) and their maps are ~|nodes|
+    # keys of fixed-width longs, the spill-friendly shape; "on"
+    # shards those too (the fully-bounded-state arm, measured 3x
+    # slower at every decade).
+    decade = width >= 8 * spark.sparkContext.defaultParallelism
+    in_auto = shard_mode == "on" or (shard_mode == "auto" and decade)
+    shard_all = shard_mode == "on"
+    # Decade regime: pin the loop-invariant barriers to DISK_ONLY
+    # blocks. Deserialized edge-barrier blocks measure ~200 MB x 32+
+    # partitions at sf10 (~7 GB) — unevictable residency that starves
+    # the 8 g unified pool into AGGREGATE_OUT_OF_MEMORY / plain heap
+    # OOM (r11 receipts). DISK_ONLY keeps the pool free; re-reads ride
+    # the OS page cache locally and an executor's local disk on a
+    # cluster. Below the decade width the frames fit and the stock
+    # (session-conf) placement stays.
+    inv_storage = (
+        "disk"
+        if shard_mode == "on" or (shard_mode == "auto" and decade)
+        else None
     )
 
-    def shard(df: DataFrame, *cols: str) -> DataFrame:
+    def shard(
+        df: DataFrame, *cols: str, always: bool = False
+    ) -> DataFrame:
         """Key-slice an aggregate's input so its per-task hash map is
-        bounded by |keys|/width (see PAGERANK_SHARDED_AGG)."""
-        return df.repartition(width, *cols) if sharded else df
+        bounded by |keys|/width (see PAGERANK_SHARDED_AGG).
+        ``always=True`` marks the aggregates sharded under
+        auto+decade (pair distinct, per-round inflow — the two
+        measured OOM sites); the rest shard only under "on"."""
+        gate = in_auto if always else shard_all
+        return df.repartition(width, *cols) if gate else df
 
     strategy = (
         spark.conf.get(PAGERANK_EDGE_BUILD_CONF, None) or PAGERANK_EDGE_BUILD
@@ -672,11 +712,11 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("p")
             )
             .select("p.u", "p.v")
-            .transform(lambda df: shard(df, "u", "v"))
+            .transform(lambda df: shard(df, "u", "v", always=True))
             .distinct()
         )
         if mat:
-            und = barrier(und)
+            und = barrier(und, storage=inv_storage)
         e0 = und.unionByName(
             und.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -691,19 +731,19 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.join(b, "okey")
             .where(F.col("u") != F.col("v"))
             .select("u", "v")
-            .transform(lambda df: shard(df, "u", "v"))
+            .transform(lambda df: shard(df, "u", "v", always=True))
             .distinct()
         )
         if mat:
-            e0 = barrier(e0)
+            e0 = barrier(e0, storage=inv_storage)
     nodes = shard(
         li.select(F.col("l_partkey").alias("pid")), "pid"
     ).distinct()
     if mat:
-        nodes = barrier(nodes)
+        nodes = barrier(nodes, storage=inv_storage)
     deg = shard(e0, "u").groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     if mat:
-        deg = barrier(deg)
+        deg = barrier(deg, storage=inv_storage)
     ranks = nodes.select("pid", F.lit(1.0).alias("pr"))
     for _ in range(3):
         # §MONEY r8: exact inflow — floor-quantize each edge's pr/d
@@ -721,7 +761,7 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         inflow = (
-            shard(contrib, "pid")
+            shard(contrib, "pid", always=True)
             .groupBy("pid")
             .agg(F.sum("c_q").alias("inflow_q"))
         )

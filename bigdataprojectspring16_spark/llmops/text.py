@@ -914,9 +914,34 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_templated"),
     )
-    src_sh = occ.groupBy("source").agg(
-        F.count_distinct(
-            F.when(F.col("df") >= 3, F.col("shingle"))
-        ).alias("n_boiler_shingles")
+    # n_boiler_shingles needs only SET membership, not occurrence
+    # counts, so it never touches the occurrence-level join above
+    # (ADVICE r10: deriving it from occ executed the fact-sized
+    # shingle<->df merge join twice — once per aggregation branch).
+    # Distinct (source, shingle) pairs join the FILTERED df side
+    # (boilerplate shingles only, df >= 3) — both frames orders of
+    # magnitude under the occurrence stream.
+    src_sh = (
+        sh.select("source", "shingle")
+        .distinct()
+        .join(
+            df_counts.where(F.col("df") >= 3)
+            .select("shingle")
+            .hint("merge"),
+            "shingle",
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_boiler_shingles"))
     )
-    return per_src.join(src_sh, "source")
+    # LEFT join + coalesce: a source whose every shingle is unique has
+    # no row in src_sh here, but the oracle's occ-based form emits it
+    # with a 0 count — same row set either way.
+    return per_src.join(src_sh, "source", "left").select(
+        "source",
+        "n_docs",
+        "avg_boiler_share",
+        "n_templated",
+        F.coalesce(F.col("n_boiler_shingles"), F.lit(0)).alias(
+            "n_boiler_shingles"
+        ),
+    )

@@ -53,6 +53,22 @@ BARRIER_STORAGE_CONF = "spark.bigdataprojectspring16.barrierStorage"
 _MODES = ("local", "eager", "durable")
 
 
+def _storage_to_level(choice: str) -> StorageLevel | None:
+    """``memory`` = Spark's stock localCheckpoint level (deserialized
+    rows — fastest re-read); ``memory_ser`` = MEMORY_AND_DISK
+    serialized (~2-3x smaller resident blocks, one deser pass per
+    re-read); ``disk`` = DISK_ONLY (zero unified-pool residency)."""
+    if choice == "memory":
+        return None
+    if choice == "memory_ser":
+        return StorageLevel.MEMORY_AND_DISK
+    if choice == "disk":
+        return StorageLevel.DISK_ONLY
+    raise ValueError(
+        f"barrier storage {choice!r}: expected memory | memory_ser | disk"
+    )
+
+
 def _local_barrier_level(spark: SparkSession) -> StorageLevel | None:
     """Storage level for local-mode barrier blocks; ``None`` = Spark's
     default (MEMORY_AND_DISK).
@@ -71,13 +87,13 @@ def _local_barrier_level(spark: SparkSession) -> StorageLevel | None:
     executors).
     """
     choice = spark.conf.get(BARRIER_STORAGE_CONF, "memory")
-    if choice == "memory":
-        return None
-    if choice == "disk":
-        return StorageLevel.DISK_ONLY
-    raise ValueError(
-        f"{BARRIER_STORAGE_CONF}={choice!r}: expected memory | disk"
-    )
+    try:
+        return _storage_to_level(choice)
+    except ValueError:
+        raise ValueError(
+            f"{BARRIER_STORAGE_CONF}={choice!r}: "
+            "expected memory | memory_ser | disk"
+        ) from None
 
 
 def barrier_mode(spark: SparkSession) -> str:
@@ -90,11 +106,19 @@ def barrier_mode(spark: SparkSession) -> str:
     return mode
 
 
-def barrier(df: DataFrame, eager: bool = False) -> DataFrame:
+def barrier(
+    df: DataFrame, eager: bool = False, storage: str | None = None
+) -> DataFrame:
     """Materialization barrier under the session's barrier mode.
 
     ``eager`` is honored by the ``local`` / ``durable`` modes;
-    ``eager`` mode is eager by definition.
+    ``eager`` mode is eager by definition. ``storage`` (local modes
+    only) lets a CALL SITE pin this barrier's block placement
+    (memory | memory_ser | disk) when it knows the frame's shape —
+    e.g. graph_pagerank_rounds stores its decade-scale edge barrier
+    serialized-or-disk so ~7 GB of deserialized row blocks never
+    squeeze the 8 g unified pool (r11); the session-wide
+    ``barrierStorage`` conf still governs every unpinned barrier.
     """
     mode = barrier_mode(df.sparkSession)
     if mode == "durable":
@@ -104,7 +128,10 @@ def barrier(df: DataFrame, eager: bool = False) -> DataFrame:
                 "SparkContext.setCheckpointDir(<reliable storage>)"
             )
         return df.checkpoint(eager=eager)
-    level = _local_barrier_level(df.sparkSession)
+    if storage is not None:
+        level = _storage_to_level(storage)
+    else:
+        level = _local_barrier_level(df.sparkSession)
     if level is not None:
         return df.localCheckpoint(
             eager=eager or mode == "eager", storageLevel=level

@@ -1,0 +1,290 @@
+#!/usr/bin/env python
+"""Streaming's first decade: sf1 multi-batch replay vs batch twins
+(VERDICT r10 item 4).
+
+Every other operator family has sf1/sf10 receipts; the ``readStream``
+legs were verified only on fixture-scale manufactured batches. This
+tool replays the THREE streaming pipelines over the in-repo sf1
+events universe (~1.2M events) as a time-ordered multi-batch
+file-source feed, with the RocksDB state-store provider active, and
+asserts each pipeline's accumulated output EQUALS the batch twin's
+result computed on the same rows in one shot:
+
+  1. session windows   (streams.session_counts — 30-min gap sessions)
+  2. stream-stream interval join (streams.stream_stream_interval_join
+     — purchases x same-user clicks in the preceding hour, state
+     buffered across batches on both sides)
+  3. stateful counter  (streams.stateful_purchase_counter —
+     applyInPandasWithState running per-user purchase sequence)
+
+The feed slices events into N_BATCHES time-ordered parquet chunks
+(one file per chunk, maxFilesPerTrigger=1, processAllAvailable
+between appends — each chunk is one micro-batch), then a far-future
+sentinel chunk advances the watermark so append-mode outputs flush.
+Equality is exact row-set equality plus a sha256 over the sorted,
+canonicalized rows (the driver-comparator discipline).
+
+Run:  python tools/streaming_sf1_run.py \
+          > tools/receipts/streaming_sf1_r11.txt 2>&1
+Env:  STREAMING_SF_DIR (default /root/repo/.bench_sf1)
+      STREAMING_BATCHES (default 8)
+"""
+
+import datetime as dt
+import hashlib
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+from bigdataprojectspring16_spark import get_session  # noqa: E402
+from bigdataprojectspring16_spark.streaming import streams  # noqa: E402
+from bigdataprojectspring16_spark.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("STREAMING_SF_DIR", "/root/repo/.bench_sf1")
+N_BATCHES = int(os.environ.get("STREAMING_BATCHES", "8"))
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+#: Sentinel far beyond the fixture's time range: flushes watermarked
+#: append outputs; its rows are excluded from every comparison.
+SENTINEL_TS = dt.datetime(2030, 1, 1)
+SENTINEL_USER = -1
+
+
+def canon(v):
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return str(v)
+
+
+def hashed(rows):
+    h = hashlib.sha256()
+    for row in sorted(tuple(canon(v) for v in r) for r in rows):
+        h.update("|".join(row).encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def write_chunks(df, out_dir, n):
+    """Time-ordered slices, one parquet file each (one micro-batch)."""
+    # Tool-only global sort: the replay needs a total time order to
+    # slice micro-batches; the single-partition window is sanctioned
+    # here (fixture tooling, not engine code).
+    ranked = df.withColumn(
+        "__b", F.ntile(n).over(Window.orderBy("ts", "event_id"))
+    )
+    paths = []
+    for i in range(1, n + 1):
+        p = os.path.join(out_dir, f"chunk_{i:02d}")
+        (
+            ranked.where(F.col("__b") == i)
+            .drop("__b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+        paths.append(p)
+    return paths
+
+
+def feed_file(spark, chunk_dir, feed_dir, tag):
+    """Move one pre-written chunk into the live feed dir as ONE file."""
+    part = [
+        f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+    ][0]
+    shutil.copy(
+        os.path.join(chunk_dir, part),
+        os.path.join(feed_dir, f"{tag}.parquet"),
+    )
+
+
+def sentinel_rows(spark):
+    return spark.createDataFrame(
+        [
+            (10**9, SENTINEL_USER, "purchase", SENTINEL_TS, 1.0, "{}"),
+            (10**9 + 1, SENTINEL_USER, "click", SENTINEL_TS, 1.0, "{}"),
+        ],
+        streams.EVENTS_SCHEMA,
+    )
+
+
+def run_pipeline(spark, events, tag, build, output_mode, sources):
+    """Replay `events` (dict source_name -> DataFrame) through `build`
+    and return (rows, n_batches, wall). `build` receives the
+    streaming frames in `sources` order."""
+    tmp = tempfile.mkdtemp(prefix=f"sf1-stream-{tag}-")
+    feeds = {s: os.path.join(tmp, f"feed_{s}") for s in sources}
+    chunked = {}
+    for s in sources:
+        os.makedirs(feeds[s])
+        chunk_root = os.path.join(tmp, f"chunks_{s}")
+        chunked[s] = write_chunks(events[s], chunk_root, N_BATCHES)
+    name = f"{tag}_{uuid.uuid4().hex[:8]}"
+    chk = os.path.join(tmp, "chk")
+    streams_in = [
+        streams.read_event_stream(spark, feeds[s]) for s in sources
+    ]
+    q = (
+        build(*streams_in)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    t0 = time.time()
+    batches = 0
+    try:
+        for i in range(N_BATCHES):
+            for s in sources:
+                feed_file(spark, chunked[s][i], feeds[s], f"b{i:02d}")
+            q.processAllAvailable()
+            batches += 1
+            n_so_far = spark.table(name).count()
+            print(
+                f"  [{tag}] batch {i + 1}/{N_BATCHES}: "
+                f"cumulative output rows = {n_so_far}",
+                flush=True,
+            )
+        # sentinel flush: advance the watermark past every real event
+        sent = sentinel_rows(spark)
+        for s in sources:
+            sent.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmp, "sent")
+            )
+            feed_file(
+                spark, os.path.join(tmp, "sent"), feeds[s], "zz_sentinel"
+            )
+        q.processAllAvailable()
+        batches += 1
+        rows = [
+            tuple(r)
+            for r in spark.table(name).collect()
+            if SENTINEL_USER not in tuple(r) and SENTINEL_TS not in tuple(r)
+        ]
+        return rows, batches, time.time() - t0
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    spark = get_session("streaming_sf1")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB
+    )
+    print(f"streaming sf1 decade @ {SF_DIR}, {N_BATCHES} micro-batches, "
+          f"RocksDB state store")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value", "props"
+    )
+    n_ev = ev.count()
+    print(f"events: {n_ev} rows")
+    status = 0
+
+    # ---- 1. session windows -------------------------------------
+    streamed, nb, wall = run_pipeline(
+        spark, {"ev": ev}, "session", streams.session_counts,
+        "append", ["ev"],
+    )
+    batch = [
+        tuple(r)
+        for r in (
+            ev.groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+            )
+        ).collect()
+    ]
+    ok = sorted(streamed) == sorted(batch)
+    status |= 0 if ok else 1
+    print(f"session_windows: streamed {len(streamed)} rows in {nb} "
+          f"batches ({wall:.1f}s), batch twin {len(batch)} rows; "
+          f"hash {hashed(streamed)} vs {hashed(batch)} -> "
+          f"{'MATCH' if ok else 'MISMATCH'}")
+
+    # ---- 2. stream-stream interval join -------------------------
+    clicks = ev.where(F.col("event_type") == "click")
+    buys = ev.where(F.col("event_type") == "purchase")
+    streamed, nb, wall = run_pipeline(
+        spark, {"clicks": clicks, "buys": buys}, "ssjoin",
+        streams.stream_stream_interval_join, "append",
+        ["clicks", "buys"],
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = buys.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = [
+        tuple(r)
+        for r in p.join(
+            c,
+            (p["user_id"] == c["c_user"])
+            & (c["click_ts"] <= p["purchase_ts"])
+            & (
+                c["click_ts"]
+                >= p["purchase_ts"] - F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
+        )
+        .collect()
+    ]
+    ok = sorted(streamed) == sorted(batch)
+    status |= 0 if ok else 1
+    print(f"interval_join: streamed {len(streamed)} rows in {nb} "
+          f"batches ({wall:.1f}s), batch twin {len(batch)} rows; "
+          f"hash {hashed(streamed)} vs {hashed(batch)} -> "
+          f"{'MATCH' if ok else 'MISMATCH'}")
+
+    # ---- 3. stateful counter (applyInPandasWithState) -----------
+    streamed, nb, wall = run_pipeline(
+        spark, {"ev": ev}, "counter", streams.stateful_purchase_counter,
+        "update", ["ev"],
+    )
+    batch = [
+        tuple(r)
+        for r in buys.select(
+            "user_id", "event_id", "ts",
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+            .alias("purchase_seq"),
+        ).collect()
+    ]
+    ok = sorted(streamed) == sorted(batch)
+    status |= 0 if ok else 1
+    print(f"stateful_counter: streamed {len(streamed)} rows in {nb} "
+          f"batches ({wall:.1f}s), batch twin {len(batch)} rows; "
+          f"hash {hashed(streamed)} vs {hashed(batch)} -> "
+          f"{'MATCH' if ok else 'MISMATCH'}")
+
+    print(f"RESULT: {'PASS' if status == 0 else 'FAIL'}")
+    return status
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
