@@ -104,8 +104,10 @@ PAGERANK_EDGE_BUILD_CONF = (
 #: same class as the r10 b3A4 receipt) while the third squeaked
 #: through on storage-eviction luck. Hence ``auto`` (default):
 #: shard ONLY the pair distinct, only when the input-byte autosizer
-#: has raised width ≥ 8x parallelism (the decade regime — fixture
-#: and bench plans untouched). That converts the one
+#: has raised width ≥ 64x parallelism (the measured-OOM decade
+#: regime: sf10's 4096 at local[32]; sf0.1/sf1 plans untouched —
+#: sf1 is receipt-green unsharded since r7 and the auto arm costs
+#: 2x there). That converts the one
 #: barely-combining, OOM-prone aggregate to bounded key-sliced
 #: state at ~zero extra shuffle volume. The per-round INFLOW sum
 #: joined the auto set after attempt 4: its partial map (distinct
@@ -640,7 +642,12 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys of fixed-width longs, the spill-friendly shape; "on"
     # shards those too (the fully-bounded-state arm, measured 3x
     # slower at every decade).
-    decade = width >= 8 * spark.sparkContext.defaultParallelism
+    # "decade" = the measured-OOM regime only: autosized width ≥ 64x
+    # parallelism (sf10's 4096 at local[32]). sf1's 1024-width runs
+    # have been receipt-green UNSHARDED at 8 g since r7 and the auto
+    # arm costs 2x there (31.6 s vs 15-17 s, r11) — robustness tax is
+    # paid exactly where failure was measured, nowhere else.
+    decade = width >= 64 * spark.sparkContext.defaultParallelism
     in_auto = shard_mode == "on" or (shard_mode == "auto" and decade)
     shard_all = shard_mode == "on"
     # Decade regime: pin the loop-invariant barriers to DISK_ONLY
@@ -668,14 +675,27 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate = in_auto if always else shard_all
         return df.repartition(width, *cols) if gate else df
 
-    strategy = (
-        spark.conf.get(PAGERANK_EDGE_BUILD_CONF, None) or PAGERANK_EDGE_BUILD
-    )
+    conf_strategy = spark.conf.get(PAGERANK_EDGE_BUILD_CONF, None)
+    strategy = conf_strategy or PAGERANK_EDGE_BUILD
     if strategy not in ("group", "selfjoin"):
         raise ValueError(
             f"{PAGERANK_EDGE_BUILD_CONF}={strategy!r}: "
             "expected 'group' or 'selfjoin'"
         )
+    if conf_strategy is None and in_auto and decade:
+        # Decade regime (unless the session pinned the knob): build
+        # edges by the orderkey SELF-JOIN, not the grouped-array
+        # expansion. The group build wins ~20% wall at fixture scale
+        # (r5 A/B) but its collect_set buffers and per-row pair
+        # arrays are plain on-heap objects OUTSIDE the managed memory
+        # pool — at sf10/8 g they are the one remaining allocation
+        # class that can OOM the heap before any spill can engage
+        # (r11 fullcheck attempt: 64-128 MB GCLocker array
+        # allocations, java.lang.OutOfMemoryError in the edge-build
+        # stage). The self-join form is SMJ + sharded distinct
+        # end-to-end: every byte lives in managed, spillable
+        # operators.
+        strategy = "selfjoin"
     # The edge set, degrees, and node set are loop-INVARIANT but appear
     # in every unrolled round, and Catalyst performs no cross-round
     # common-subexpression elimination: without a materialization
