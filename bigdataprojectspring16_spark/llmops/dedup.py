@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.barriers import barrier, conf_knob
+from ..plans.barriers import barrier, conf_knob, scale_aware_storage
 from ..registry import query
 from ..session import pinned_stage_width
 from ..tables import load_table
@@ -74,9 +74,18 @@ def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
     the membership join are keyed on the digest — payload arrays
     never shuffle for the contraction itself.
     """
+    # NARROW digest frame: the arrays never enter the contraction
+    # stages (r11, the sf100 lesson — carrying set_col through the
+    # sh join put a 1-2 KB/row external sort in the same stage as
+    # the digest hash-agg, and at 5M docs the agg's spill fallback
+    # could not acquire its initial page). The group agg and the
+    # membership join see only (doc_id, sh) / (sh, rep_id) rows;
+    # the representative payload is recovered by ONE keyed join of
+    # the winner ids back onto t — the single, unavoidable array
+    # shuffle, in a stage of its own with no aggregation map
+    # competing for the pool.
     fp = t.select(
         "doc_id",
-        set_col,
         F.md5(
             F.concat_ws(
                 "", F.transform(F.array_sort(set_col), F.md5)
@@ -84,11 +93,10 @@ def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
         ).alias("sh"),
     )
     groups = fp.groupBy("sh").agg(F.min("doc_id").alias("rep_id"))
-    with_rep = fp.join(groups, "sh")
-    members = with_rep.select("doc_id", "rep_id")
-    reps = with_rep.where(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id", set_col
-    )
+    members = fp.join(groups, "sh").select("doc_id", "rep_id")
+    reps = t.join(
+        groups.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", set_col)
     # Lazy materialization barrier (r4): every caller references reps
     # and/or members several times (signature agg, size frames, both
     # verify sides, the member expansion), and Catalyst performs no
@@ -102,7 +110,8 @@ def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
     # avoidable cost; the checkpoint stores only (doc_id, set) rows.
     if not _materialize_shared(t):
         return reps, members
-    return barrier(reps), barrier(members)
+    st = scale_aware_storage(reps.sparkSession)
+    return barrier(reps, storage=st), barrier(members, storage=st)
 
 
 def expand_rep_pairs(
@@ -226,7 +235,7 @@ def prefix_filter_candidates(
     width = pinned_stage_width(t.sparkSession)
     prefix = prefix.repartition(width, "term")
     if _materialize_shared(t):
-        prefix = barrier(prefix)
+        prefix = barrier(prefix, storage=scale_aware_storage(t.sparkSession))
     # ^ lazy barrier AFTER the pinned repartition: both join sides
     # below reference `prefix`, and without it each side re-runs the
     # explode + document-frequency + window lineage (no cross-branch
@@ -429,7 +438,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
     t, m = contract_identical_sets(full)
-    toks = t.select("doc_id", F.explode("toks").alias("term"))
+    # Decade regime (r11, the sf100 lesson): the 16-minima partial
+    # map holds ~600 B per distinct doc (16 md5-string minima), and
+    # the barriered rep frame re-enters at its AQE-coalesced width —
+    # at sf100 that is ~170k docs x 600 B per task x 32 tasks, a
+    # plain heap OOM at the default 8 g. One NARROW repartition of
+    # the compact token-ARRAY rows (pre-explode — array rows, never
+    # the 150x exploded stream) to pinned width bounds the per-task
+    # map at |docs|/width while keeping the per-doc map-side combine.
+    width = pinned_stage_width(spark)
+    tt = (
+        t.repartition(width, "doc_id")
+        if width >= 64 * spark.sparkContext.defaultParallelism
+        else t
+    )
+    toks = tt.select("doc_id", F.explode("toks").alias("term"))
     minh = toks.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"h{i}")
@@ -459,7 +482,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Lazy barrier: the band self-join below references this frame
         # twice; without it each side re-runs the 16-way minhash
         # aggregation over the exploded token stream.
-        bands = barrier(bands)
+        bands = barrier(bands, storage=scale_aware_storage(spark))
     cand = (
         bands.select(
             F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "band", "sig"

@@ -179,3 +179,29 @@ def knob(spark: SparkSession, conf_key: str, value):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def scale_aware_storage(spark: SparkSession) -> str | None:
+    """Barrier block placement for SHARED DATA-PROPORTIONAL frames:
+    ``None`` (session default — deserialized memory) at fixture/bench
+    scale, ``"disk"`` once the input-byte autosizer has raised the
+    shuffle width into the measured-OOM decade regime (≥ 64x the
+    scheduler parallelism — sf100-docs' 4096 at local[32]).
+
+    Unevictable deserialized localCheckpoint blocks of corpus-sized
+    frames are the measured single-JVM failure class (r11: the
+    pagerank edge barrier at sf10, then the minhash token-set/band
+    barriers at sf100 — both plain heap OOMs at the default 8 g).
+    DISK_ONLY keeps the unified pool free; locally the re-reads ride
+    the OS page cache, on a cluster each executor's local disk. The
+    explicitly-measured smaller regimes keep the fast stock level
+    (r10: CC at sf10 memory 113 s vs disk 124 s).
+    """
+    from ..session import pinned_stage_width
+
+    if spark.conf.get(BARRIER_STORAGE_CONF, None) is not None:
+        return None  # an explicit session choice wins everywhere
+    width = pinned_stage_width(spark)
+    if width >= 64 * spark.sparkContext.defaultParallelism:
+        return "disk"
+    return None
