@@ -176,7 +176,11 @@ def main() -> int:
     if os.environ.get("CLOSING_SKIP_SF01") == "1":
         print("CLOSING_SKIP_SF01=1 — sf0.1 full sweep skipped (no receipt)")
     else:
-        env = dict(os.environ, DRIVER_SIM_SF_DIR="/root/testdata/sf0.1")
+        env = dict(
+            os.environ,
+            DRIVER_SIM_SF_DIR="/root/testdata/sf0.1",
+            DRIVER_SIM_HEAVY_LAST="1",
+        )
         path = os.path.join(RECEIPTS, f"driver_sim_r{rnd:02d}_sf01_final.txt")
         with open(path, "w") as out:
             out.write(header)
