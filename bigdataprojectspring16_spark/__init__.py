@@ -33,50 +33,45 @@ from .operators import tpch  # noqa: F401
 # (ADVICE r2 discipline): keys whose code changed this round verify
 # FIRST, then the stalest-signal cohort, oldest round first.
 _DRIVER_WINDOW_PRIORITY = [
-    # r11 rotation (VERDICT r10 next-round #1): drain the r6-stale
-    # cohort entirely, then start on r7. Derived by unioning
-    # CORRECTNESS_r01..r10 key sets and keeping each key's newest
-    # round: histogram is r6:19, r7:40, r8:48, r9:50, r10:50.
-    # Window = 2 changed-code keys + all 19 r6 keys (16 oracle-keyed
-    # TPC-H/window keys + the 3 sanctioned rows-only keys, which get
-    # the weaker rows>0 check refreshed) + the 29 alphabetically-first
-    # of the 40 r7 keys. Left for r12: the 11 remaining r7 keys
-    # (scalar_string, set_except, set_intersect, set_union_all,
-    # set_union_distinct, timeseries_gap_fill, tpch_q16_supplier_cnt,
-    # udaf_geomean, udf_grouped_zscore, udf_scalar_python,
-    # udtf_surface), then the 48-key r8 cohort.
+    # r12 rotation (VERDICT r11 next-round #1): drain the r7-stale
+    # cohort entirely, then start on r8. Derived by unioning
+    # CORRECTNESS_r01..r11 key sets and keeping each key's newest
+    # round: histogram is r7:11, r8:47, r9:50, r10:49, r11:50.
+    # Window = 1 changed-code key + all 11 r7 keys + the 38
+    # alphabetically-first of the 47 r8 keys. Left for r13: the 9
+    # remaining r8 keys (text_clean_stopwords, text_decontaminate,
+    # text_fingerprint, text_lang_stats, text_langid,
+    # text_ngram_novelty, tpch_q22_idle_customers, unpivot_metrics,
+    # window_share_of_total), then the 50-key r9 cohort.
     # Changed-code keys this round are promoted to the head of the
     # list per the standing rule (ADVICE r2 discipline).
-    # -- group 0: keys whose code changed in r11 after their newest
-    # driver check (graph_pagerank_rounds: sharded-aggregate knob for
-    # the sf10 8 g envelope; text_boilerplate_ngrams: n_boiler_shingles
-    # re-derived from the distinct pair set so the fact-sized
-    # shingle<->df merge join runs once, ADVICE r10) --
-    "graph_pagerank_rounds", "text_boilerplate_ngrams",
-    # -- group 1: the 19 r6-stale keys, oracle-keyed first --
-    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
-    "tpch_q20_lead_promo_suppliers", "tpch_q3_topk",
-    "tpch_q5_local_supplier_volume", "tpch_q6_revenue_delta",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "window_first_last",
-    "window_lag_lead", "window_ntile_percent", "window_rank_topn",
-    "window_running_total", "agg_approx_distinct",
-    "stream_dedup_watermark", "stream_watermark_late",
-    # -- group 2: 29 of the 40 r7-stale keys, alphabetical --
-    "agg_cube", "agg_global", "agg_grouping_sets",
-    "agg_pricing_summary", "agg_rollup", "array_ops",
-    "clean_impute_nulls", "clean_winsorize",
-    "custdist_two_level_agg", "dedup_keep_best",
-    "dedup_latest_by_key", "distinct_exact",
-    "docs_curation_pipeline", "embeddings_pca_power",
-    "events_dau_stickiness", "events_moving_avg_7d",
-    "events_transition_matrix", "explode_wordcount",
-    "graph_cluster_keep_best", "graph_connected_components",
-    "join_interval_self_overlap", "join_null_safe",
-    "map_from_entries", "map_hof", "pivot_event_types",
-    "sample_class_balanced", "sample_domain_cap",
-    "scalar_conditional", "scalar_date",
+    # -- group 0: keys whose code changed in r12 after their newest
+    # driver check (text_boilerplate_ngrams: occ barriered so the
+    # fact-sized shingle<->df merge join materializes once,
+    # VERDICT r11 #5) --
+    "text_boilerplate_ngrams",
+    # -- group 1: the 11 r7-stale keys, alphabetical --
+    "scalar_string", "set_except", "set_intersect",
+    "set_union_all", "set_union_distinct", "timeseries_gap_fill",
+    "tpch_q16_supplier_cnt", "udaf_geomean", "udf_grouped_zscore",
+    "udf_scalar_python", "udtf_surface",
+    # -- group 2: 38 of the 47 r8-stale keys, alphabetical --
+    "agg_having", "agg_weighted_percentile", "array_hof",
+    "corpus_mix_report", "dedup_dup_rate_by_source",
+    "dedup_exact_docs", "dedup_incremental_batch", "dedup_simhash",
+    "docs_chunk_overlap", "docs_fold_contamination",
+    "docs_leakage_safe_split", "docs_pack_sequences",
+    "docs_subset_containment", "embeddings_quantize_int8",
+    "join_full_outer", "join_inner_equi",
+    "join_skew_events_customers", "join_theta", "json_extract",
+    "knn_per_label_centroid", "merge_upsert_batch",
+    "orders_yoy_growth", "rollup_incremental_merge",
+    "sample_hash_mod", "sample_importance_reweight",
+    "sample_kfold_stratified", "sample_stratified",
+    "sample_temperature", "scalar_bitwise", "scalar_math",
+    "scalar_try_cast", "sim_ann_lsh", "sim_centroid_assign",
+    "sim_knn_cosine", "sim_pairs_threshold",
+    "stream_static_enrich", "stream_tumbling", "text_char_entropy",
 ]
 
 
