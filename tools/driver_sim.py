@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import duckdb
 import __spark_entry__ as mod
 
+import oracle_store
 from comparator import first_diff, norm, value_hash  # noqa: F401
 from bigdataprojectspring16_spark import get_session
 
@@ -82,6 +83,47 @@ HEAVY_ORACLE_KEYS = {
 _heavy_last = os.environ.get("DRIVER_SIM_HEAVY_LAST") == "1"
 def _order(name):
     return (name in HEAVY_ORACLE_KEYS, name) if _heavy_last else name
+
+# Oracle-result cache (VERDICT r11 next-round #2): replay the DuckDB
+# verdict triple when (SQL, parquet fingerprint, comparator) are all
+# unchanged. Default ON — every HIT is labelled in the per-key line
+# and counted in the footer, so a receipt is transparent about how
+# much of its oracle side was recomputed. DRIVER_SIM_ORACLE_CACHE=0
+# disables for a fully-recomputed (judge-grade) sweep.
+_cache_on = os.environ.get("DRIVER_SIM_ORACLE_CACHE", "1") != "0"
+_comp_ver = oracle_store.comparator_version()
+_data_fp = oracle_store.data_fingerprint(SF_DIR)
+cache_hits = 0
+
+
+def _run_oracle(name):
+    """(nrows, cols, value_hash, rows-or-None, hit) for the oracle side.
+
+    .arrow() is the type-faithful path: DuckDB HUGEINT becomes
+    decimal128(38,0) (Python Decimal), int64 stays int, NULLs in int
+    columns stay None (a pandas .df() would coerce the whole column
+    to float64).
+    """
+    import time as _time
+
+    path = oracle_store.cache_path(name, oracles[name], _comp_ver, _data_fp)
+    if _cache_on:
+        cached = oracle_store.load(path)
+        if cached is not None:
+            return (cached["nrows"], cached["cols"], cached["value_hash"],
+                    None, True)
+    t0 = _time.time()
+    otab = con.execute(oracles[name]).arrow()
+    ocols = otab.column_names
+    opy = otab.to_pylist()
+    orows = [tuple(d[c] for c in ocols) for d in opy]
+    ohash = value_hash(orows, ocols)
+    if _cache_on:
+        oracle_store.store(path, name, SF_DIR, len(orows), ocols, ohash,
+                           _time.time() - t0)
+    return len(orows), ocols, ohash, orows, False
+
+
 fails, rows_only = [], []
 for name in sorted(only or queries, key=_order):
     sdf = queries[name](spark, SF_DIR)
@@ -92,24 +134,25 @@ for name in sorted(only or queries, key=_order):
         status = f"rows-only ({len(srows)} rows)"
         ok = len(srows) >= 0
     else:
-        # .arrow() is the type-faithful path: DuckDB HUGEINT becomes
-        # decimal128(38,0) (Python Decimal), int64 stays int, NULLs in
-        # int columns stay None (a pandas .df() would coerce the whole
-        # column to float64).
-        otab = con.execute(oracles[name]).arrow()
-        ocols = otab.column_names
-        opy = otab.to_pylist()
-        orows = [tuple(d[c] for c in ocols) for d in opy]
+        n_orows, ocols, ohash, orows, hit = _run_oracle(name)
+        cache_hits += hit
         ok = (
-            len(srows) == len(orows)
+            len(srows) == n_orows
             and sorted(scols) == sorted(ocols)
-            and value_hash(srows, scols) == value_hash(orows, ocols)
+            and value_hash(srows, scols) == ohash
         )
         if ok:
-            status = "MATCH"
-        elif len(srows) != len(orows) or sorted(scols) != sorted(ocols):
-            status = f"MISMATCH rows {len(srows)}vs{len(orows)} cols {sorted(scols)}vs{sorted(ocols)}"
+            status = "MATCH" + (" [oracle-cache]" if hit else "")
+        elif len(srows) != n_orows or sorted(scols) != sorted(ocols):
+            status = f"MISMATCH rows {len(srows)}vs{n_orows} cols {sorted(scols)}vs{sorted(ocols)}"
         else:
+            # The red path always diffs against freshly-executed rows:
+            # a cached verdict never decides a failure's diagnostics.
+            if orows is None:
+                otab = con.execute(oracles[name]).arrow()
+                ocols = otab.column_names
+                orows = [tuple(d[c] for c in ocols)
+                         for d in otab.to_pylist()]
             status = "HASH MISMATCH " + first_diff(srows, scols, orows, ocols)
     print(f"{'OK ' if ok else 'FAIL'} {name}: {status}")
     if not ok:
@@ -120,6 +163,7 @@ for name in sorted(only or queries, key=_order):
 # a receipt could read as a full pass when it wasn't.
 ran = len(only or queries)
 scope = "" if not only else f" (subset of {len(queries)}-key registry)"
-print(f"\n{ran} queries{scope}, {len(fails)} fails, {len(rows_only)} rows-only")
+cache_note = f", {cache_hits} oracle-cache hits" if _cache_on else ", oracle cache OFF"
+print(f"\n{ran} queries{scope}, {len(fails)} fails, {len(rows_only)} rows-only{cache_note}")
 if fails:
     sys.exit(1)
