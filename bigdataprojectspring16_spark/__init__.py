@@ -37,19 +37,16 @@ _DRIVER_WINDOW_PRIORITY = [
     # cohort entirely, then start on r8. Derived by unioning
     # CORRECTNESS_r01..r11 key sets and keeping each key's newest
     # round: histogram is r7:11, r8:47, r9:50, r10:49, r11:50.
-    # Window = 1 changed-code key + all 11 r7 keys + the 38
-    # alphabetically-first of the 47 r8 keys. Left for r13: the 9
-    # remaining r8 keys (text_clean_stopwords, text_decontaminate,
-    # text_fingerprint, text_lang_stats, text_langid,
-    # text_ngram_novelty, tpch_q22_idle_customers, unpivot_metrics,
-    # window_share_of_total), then the 50-key r9 cohort.
-    # Changed-code keys this round are promoted to the head of the
-    # list per the standing rule (ADVICE r2 discipline).
-    # -- group 0: keys whose code changed in r12 after their newest
-    # driver check (text_boilerplate_ngrams: occ barriered so the
-    # fact-sized shingle<->df merge join materializes once,
-    # VERDICT r11 #5) --
-    "text_boilerplate_ngrams",
+    # Window = all 11 r7 keys + the 39 alphabetically-first of the
+    # 47 r8 keys. Left for r13: the 8 remaining r8 keys
+    # (text_decontaminate, text_fingerprint, text_lang_stats,
+    # text_langid, text_ngram_novelty, tpch_q22_idle_customers,
+    # unpivot_metrics, window_share_of_total), then the 50-key r9
+    # cohort. No group-0 changed-code promotions: VERDICT r11 #5's
+    # text_boilerplate_ngrams barrier was measured and REJECTED
+    # (tools/receipts/boilerplate_barrier_ab_r12.txt — comment-only
+    # diff, plan unchanged), so no registry key's plan changed after
+    # its r11 check.
     # -- group 1: the 11 r7-stale keys, alphabetical --
     "scalar_string", "set_except", "set_intersect",
     "set_union_all", "set_union_distinct", "timeseries_gap_fill",
@@ -72,6 +69,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "scalar_try_cast", "sim_ann_lsh", "sim_centroid_assign",
     "sim_knn_cosine", "sim_pairs_threshold",
     "stream_static_enrich", "stream_tumbling", "text_char_entropy",
+    "text_clean_stopwords",
 ]
 
 
