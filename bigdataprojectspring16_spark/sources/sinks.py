@@ -87,8 +87,21 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
     ``mtime >=`` check misses ``cp -p``-style regeneration that
     preserves timestamps but changes size). Pre-stamp layouts fall
     back to the mtime comparison. A vanished source (stat fails) is
-    served on faith with a logged warning. A stale layout is dropped
-    (catalog + files) and rewritten under the exclusive lock.
+    treated as STALE (ADVICE r11 — serving it on faith could pin a
+    layout whose source was deleted for regeneration indefinitely);
+    the writer path then refuses to drop anything and raises
+    ``FileNotFoundError`` before any destructive step, so a
+    transiently-missing source never costs an existing layout. A
+    stale layout is dropped (catalog + files) and rewritten under the
+    exclusive lock.
+
+    Stamp TOCTOU (ADVICE r11): the stamp value is captured by
+    stat'ing the source BEFORE the bucketed write / CREATE TABLE
+    starts, not after it completes — a source regenerated mid-write
+    then yields a stamp that mismatches the new source, and the next
+    call invalidates, instead of a post-write stamp accidentally
+    matching the NEW source while the layout holds OLD data
+    (tests/test_bucketing.py pins both interleavings).
     """
     import fcntl
     import hashlib
@@ -119,24 +132,26 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
     def _stamp_path(name: str) -> str:
         return os.path.join(warehouse, name.lower(), "_SRC_STAMP")
 
-    def _write_stamp(src: str, name: str) -> None:
-        cur = _src_stat(src)
-        if cur is not None:
-            with open(_stamp_path(name), "w") as f:
-                f.write(cur)
+    def _write_stamp(name: str, pre_stat: str) -> None:
+        # ``pre_stat`` was captured BEFORE the layout write began —
+        # never re-stat here (the ADVICE r11 mid-write-regeneration
+        # TOCTOU: a post-write stat can match a source that changed
+        # while we were writing the OLD source's data).
+        with open(_stamp_path(name), "w") as f:
+            f.write(pre_stat)
 
-    def _fresh(src: str, name: str) -> bool:
+    def _fresh(src: str, name: str, cur: str | None) -> bool:
         success = os.path.join(warehouse, name.lower(), "_SUCCESS")
         if not os.path.exists(success):
             return False
-        cur = _src_stat(src)
         if cur is None:
             warnings.warn(
                 f"bucketed layout {name}: source parquet for {src!r} "
-                "cannot be stat'd — serving the existing layout on faith",
+                "cannot be stat'd — treating the layout as STALE "
+                "(ADVICE r11; it is never dropped on a failed stat)",
                 stacklevel=2,
             )
-            return True
+            return False
         try:
             with open(_stamp_path(name)) as f:
                 return f.read().strip() == cur
@@ -154,14 +169,15 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
         tempfile.gettempdir(), f"spark_graft_bucketed_{tag}.lock"
     )
     if all(
-        spark.catalog.tableExists(n) and _fresh(s, n) for s, n, _k in plan
+        spark.catalog.tableExists(n) and _fresh(s, n, _src_stat(s))
+        for s, n, _k in plan
     ):
         # Confirm under a shared lock: excludes a writer holding the
         # exclusive lock mid-invalidation (ADVICE r10).
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_SH)
             try:
-                if all(_fresh(s, n) for s, n, _k in plan):
+                if all(_fresh(s, n, _src_stat(s)) for s, n, _k in plan):
                     return names
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
@@ -169,9 +185,25 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
             for src, name, key in plan:
-                fresh = _fresh(src, name)
+                # One pre-write stat per table: the freshness decision,
+                # every destructive step, and the stamp all use THIS
+                # value, so a regeneration racing any later step can
+                # only produce a mismatched stamp (-> next call
+                # invalidates), never a stale-but-stamped layout.
+                pre = _src_stat(src)
+                fresh = _fresh(src, name, pre)
                 if spark.catalog.tableExists(name) and fresh:
                     continue
+                if pre is None:
+                    # The source is gone: the layout (if any) is stale
+                    # by rule, but a rewrite is impossible — fail loud
+                    # BEFORE dropping anything so a transiently-missing
+                    # source never destroys a servable layout.
+                    raise FileNotFoundError(
+                        f"bucketed layout {name}: source parquet for "
+                        f"{src!r} under {sf_dir!r} cannot be stat'd; "
+                        "refusing to drop/rewrite the layout"
+                    )
                 if not fresh:
                     spark.sql(f"DROP TABLE IF EXISTS {name}")
                 # The Spark catalog is per-process but the warehouse
@@ -192,7 +224,7 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
                         f"CLUSTERED BY ({key}) SORTED BY ({key}) "
                         f"INTO 8 BUCKETS LOCATION '{loc}'"
                     )
-                    _write_stamp(src, name)
+                    _write_stamp(name, pre)
                     continue
                 shutil.rmtree(loc, ignore_errors=True)
                 write_bucketed_table(
@@ -202,7 +234,7 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
                     num_buckets=8,
                     sort_cols=[key],
                 )
-                _write_stamp(src, name)
+                _write_stamp(name, pre)
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
     return names

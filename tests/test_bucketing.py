@@ -172,3 +172,102 @@ def test_ensure_bucketed_pair_invalidates_on_preserved_mtime(spark, tmp_path):
     assert spark.table(names2[1]).count() == n_new != n_before
     for n in names2:
         spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_ensure_bucketed_pair_stamp_is_pre_write(spark, tmp_path, monkeypatch):
+    """ADVICE r11 mid-write TOCTOU: the _SRC_STAMP must record the
+    source's stat from BEFORE the bucketed write started. If the
+    source is regenerated while the write is in flight, the layout
+    holds OLD rows — a post-write stamp would match the NEW source
+    and serve those stale rows indefinitely; the pre-write stamp
+    mismatches and the next call rewrites."""
+    import shutil
+
+    import duckdb
+
+    from bigdataprojectspring16_spark.sources import sinks
+
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", fx / f"{t}.parquet")
+    n_before = spark.read.parquet(str(fx / "lineitem.parquet")).count()
+
+    real_write = sinks.write_bucketed_table
+
+    def regen_lineitem():
+        con = duckdb.connect()
+        con.execute(
+            f"""COPY (SELECT * FROM '{SF_DIR}/lineitem.parquet'
+                      WHERE l_orderkey % 2 = 0)
+                TO '{fx}/lineitem.parquet' (FORMAT PARQUET)"""
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM '{fx}/lineitem.parquet'"
+        ).fetchone()[0]
+        con.close()
+        return n
+
+    n_new = {}
+
+    def racing_write(df, name, bucket_cols, num_buckets=8, sort_cols=None):
+        # The write itself reads the OLD source, then the source is
+        # regenerated before control returns — i.e. before any
+        # post-write stamping could happen.
+        real_write(df, name, bucket_cols, num_buckets, sort_cols)
+        if name.startswith("b_lineitem") and not n_new:
+            n_new["n"] = regen_lineitem()
+
+    monkeypatch.setattr(sinks, "write_bucketed_table", racing_write)
+    names = sinks.ensure_bucketed_pair(spark, str(fx))
+    monkeypatch.setattr(sinks, "write_bucketed_table", real_write)
+
+    # The first call's layout legitimately holds the old rows...
+    assert spark.table(names[1]).count() == n_before != n_new["n"]
+    # ...but the stamp must NOT match the regenerated source, so the
+    # next call detects staleness and rewrites with the new rows.
+    names2 = sinks.ensure_bucketed_pair(spark, str(fx))
+    assert names2 == names
+    assert spark.table(names2[1]).count() == n_new["n"]
+    for n in names2:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_ensure_bucketed_pair_vanished_source_fails_loud(spark, tmp_path):
+    """ADVICE r11: a source that cannot be stat'd makes the layout
+    STALE (never served on faith), and the writer path refuses to
+    drop anything it cannot rebuild — FileNotFoundError, layout
+    intact. Restoring the identical file resumes the fast path."""
+    import shutil
+
+    import pytest as _pytest
+
+    from bigdataprojectspring16_spark.sources.sinks import (
+        ensure_bucketed_pair,
+    )
+
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", fx / f"{t}.parquet")
+
+    names = ensure_bucketed_pair(spark, str(fx))
+    n_rows = spark.table(names[1]).count()
+
+    hidden = fx / "lineitem.hidden"
+    (fx / "lineitem.parquet").rename(hidden)
+    with _pytest.warns(UserWarning, match="STALE"):
+        with _pytest.raises(FileNotFoundError, match="refusing to drop"):
+            ensure_bucketed_pair(spark, str(fx))
+    # The refusal left the existing layout fully servable.
+    assert spark.catalog.tableExists(names[1])
+    assert spark.table(names[1]).count() == n_rows
+
+    # Same bytes back (rename preserves size + mtime_ns): the stamp
+    # matches again and the fast path serves without a rewrite.
+    hidden.rename(fx / "lineitem.parquet")
+    names2 = ensure_bucketed_pair(spark, str(fx))
+    assert names2 == names
+    assert spark.table(names2[1]).count() == n_rows
+    for n in names2:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
