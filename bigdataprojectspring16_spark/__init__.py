@@ -37,16 +37,23 @@ _DRIVER_WINDOW_PRIORITY = [
     # cohort entirely, then start on r8. Derived by unioning
     # CORRECTNESS_r01..r11 key sets and keeping each key's newest
     # round: histogram is r7:11, r8:47, r9:50, r10:49, r11:50.
-    # Window = all 11 r7 keys + the 39 alphabetically-first of the
-    # 47 r8 keys. Left for r13: the 8 remaining r8 keys
-    # (text_decontaminate, text_fingerprint, text_lang_stats,
+    # Window = 5 changed-code keys + all 11 r7 keys + the 34
+    # alphabetically-first of the 47 r8 keys. Left for r13: the 13
+    # remaining r8 keys (sim_pairs_threshold, stream_static_enrich,
+    # stream_tumbling, text_char_entropy, text_clean_stopwords,
+    # text_decontaminate, text_fingerprint, text_lang_stats,
     # text_langid, text_ngram_novelty, tpch_q22_idle_customers,
     # unpivot_metrics, window_share_of_total), then the 50-key r9
-    # cohort. No group-0 changed-code promotions: VERDICT r11 #5's
-    # text_boilerplate_ngrams barrier was measured and REJECTED
-    # (tools/receipts/boilerplate_barrier_ab_r12.txt — comment-only
-    # diff, plan unchanged), so no registry key's plan changed after
-    # its r11 check.
+    # cohort. (VERDICT r11 #5's text_boilerplate_ngrams barrier was
+    # measured and REJECTED — comment-only diff, plan unchanged, so
+    # it is NOT re-promoted; receipt
+    # tools/receipts/boilerplate_barrier_ab_r12.txt.)
+    # -- group 0: keys whose verify stage changed in r12 after their
+    # newest driver check (xxhash64 verify-token coding, default ON —
+    # VERDICT r11 #3; hash-equal A/B receipt
+    # tools/receipts/verify_codes_ab_r12.txt) --
+    "dedup_minhash_lsh", "dedup_near_jaccard", "dedup_ngram_jaccard",
+    "dedup_edit_distance", "dedup_threshold_sweep",
     # -- group 1: the 11 r7-stale keys, alphabetical --
     "scalar_string", "set_except", "set_intersect",
     "set_union_all", "set_union_distinct", "timeseries_gap_fill",
@@ -67,9 +74,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_kfold_stratified", "sample_stratified",
     "sample_temperature", "scalar_bitwise", "scalar_math",
     "scalar_try_cast", "sim_ann_lsh", "sim_centroid_assign",
-    "sim_knn_cosine", "sim_pairs_threshold",
-    "stream_static_enrich", "stream_tumbling", "text_char_entropy",
-    "text_clean_stopwords",
+    "sim_knn_cosine",
 ]
 
 

@@ -535,7 +535,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join.  The oracle states the all-pairs form; the declared
     plan is the keyed prefix equi-join (nested-loop-free).
     """
-    from .dedup import contract_identical_sets, prefix_filter_candidates
+    from .dedup import (
+        coded_verify_side,
+        contract_identical_sets,
+        prefix_filter_candidates,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -549,8 +553,14 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("0.95-1.00").alias("band"), "n_pairs")
 
     cand = prefix_filter_candidates(reps, 0.7)
-    ta = reps.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = reps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    # Exact-verify over xxhash64 codes (default ON — the dedup.py
+    # verify-coding knob; set-function Jaccard is preserved).
+    ta = coded_verify_side(reps, "toks", "toks_a").withColumnRenamed(
+        "doc_id", "doc_a"
+    )
+    tb = coded_verify_side(reps, "toks", "toks_b").withColumnRenamed(
+        "doc_id", "doc_b"
+    )
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
     ga = sizes.select(F.col("rep_id").alias("doc_a"), F.col("g").alias("g_a"))

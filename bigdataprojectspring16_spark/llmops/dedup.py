@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.barriers import barrier, conf_knob, scale_aware_storage
+from ..plans.barriers import (
+    barrier,
+    conf_knob,
+    decade_regime,
+    scale_aware_storage,
+)
 from ..registry import query
 from ..session import pinned_stage_width
 from ..tables import load_table
@@ -52,6 +57,60 @@ MATERIALIZE_SHARED_CONF = "spark.bigdataprojectspring16.materializeShared"
 
 def _materialize_shared(df):
     return conf_knob(df.sparkSession, MATERIALIZE_SHARED_CONF, MATERIALIZE_SHARED)
+
+
+#: Exact-verify token coding (SCALING.md §SF100, VERDICT r11 #3).
+#: The verify stage ships candidate-pairs × token-ARRAYS — on the
+#: template-heavy fixtures ~30x the corpus bytes, the binding local
+#: scratch envelope at sf30/sf100. Jaccard is a function of the token
+#: SET, and |intersect| / |union| are preserved when every token is
+#: replaced by its xxhash64 code (8 B fixed-width vs ~15 B strings;
+#: a pair's verdict flips only if two DISTINCT tokens inside that
+#: pair's union collide in 64 bits — P < n²/2⁶⁵ ≈ 1e-15 per pair at
+#: ~150-token sets). Values: ``on`` (default) | ``off`` | ``auto``
+#: (codes only in the decade regime). Default ON by measurement
+#: (tools/receipts/verify_codes_ab_r12.txt): all five coded keys
+#: hash-IDENTICAL to the string form at sf0.1 with the SAME job
+#: counts and 12-17% lower walls even at bench scale — the coding is
+#: a pure map-side projection, so there is no scale at which the
+#: string form wins. Fixture-scale on-vs-off equality is pinned in
+#: tests/test_scale_paths.py; every driver oracle check runs the
+#: coded plan.
+VERIFY_TOKEN_CODES = "on"
+VERIFY_TOKEN_CODES_CONF = "spark.bigdataprojectspring16.verifyTokenCodes"
+
+
+def verify_token_codes(spark: SparkSession) -> bool:
+    v = str(
+        spark.conf.get(VERIFY_TOKEN_CODES_CONF, None) or VERIFY_TOKEN_CODES
+    ).strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    if v == "auto":
+        return decade_regime(spark)
+    raise ValueError(
+        f"{VERIFY_TOKEN_CODES_CONF}={v!r}: expected on | off | auto"
+    )
+
+
+def coded_verify_side(t: DataFrame, set_col: str, alias: str) -> DataFrame:
+    """One side of an exact-verify join: ``(doc_id, <alias>)`` where
+    ``<alias>`` is the set column as xxhash64 BIGINT codes when the
+    session's verify-coding knob is active, else the raw strings.
+
+    The projection sits ABOVE the contracted/barriered rep frame and
+    BELOW the verify join's exchange, so the hashing runs map-side
+    and the shuffle carries the 8-byte codes. array_intersect /
+    array_union treat their inputs as sets (results are distinct), so
+    size ratios — and therefore the rounded Jaccard — are identical
+    to the string form absent a 64-bit collision inside one pair's
+    union."""
+    col = F.col(set_col)
+    if verify_token_codes(t.sparkSession):
+        col = F.transform(col, lambda x: F.xxhash64(x))
+    return t.select("doc_id", col.alias(alias))
 
 
 def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
@@ -346,8 +405,14 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phases run on one representative per distinct token set.
     t, m = contract_identical_sets(full)
     cand = prefix_filter_candidates(t, 0.95)
-    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    # Exact-verify over xxhash64 codes (default ON — same knob +
+    # rationale as dedup_minhash_lsh's verify stage).
+    ta = coded_verify_side(t, "toks", "toks_a").withColumnRenamed(
+        "doc_id", "doc_a"
+    )
+    tb = coded_verify_side(t, "toks", "toks_b").withColumnRenamed(
+        "doc_id", "doc_b"
+    )
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
     rep_pairs = (
@@ -447,11 +512,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 150x exploded stream) to pinned width bounds the per-task
     # map at |docs|/width while keeping the per-doc map-side combine.
     width = pinned_stage_width(spark)
-    tt = (
-        t.repartition(width, "doc_id")
-        if width >= 64 * spark.sparkContext.defaultParallelism
-        else t
-    )
+    tt = t.repartition(width, "doc_id") if decade_regime(spark) else t
     toks = tt.select("doc_id", F.explode("toks").alias("term"))
     minh = toks.groupBy("doc_id").agg(
         *[
@@ -514,8 +575,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cand.repartition(
         pinned_stage_width(spark), "doc_a", "doc_b"
     )
-    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    # Verify sides carry xxhash64 codes instead of token strings
+    # (default ON; the knob's docstring has the measured receipts) —
+    # the 2-4x verify-shuffle cut that brings the sf30 sweep inside
+    # local scratch (SCALING.md §SF100; on-vs-off equality pinned in
+    # tests/test_scale_paths.py).
+    ta = coded_verify_side(t, "toks", "toks_a").withColumnRenamed(
+        "doc_id", "doc_a"
+    )
+    tb = coded_verify_side(t, "toks", "toks_b").withColumnRenamed(
+        "doc_id", "doc_b"
+    )
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
     rep_pairs = (
@@ -731,8 +801,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_full = d.select("doc_id", grams.alias("grams"))
     t, m = contract_identical_sets(t_full, set_col="grams")
     cand = prefix_filter_candidates(t, 0.9, set_col="grams")
-    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    # Exact-verify over xxhash64 codes (default ON — same knob +
+    # rationale as dedup_minhash_lsh's verify stage; 5-gram Jaccard
+    # is equally a set function).
+    ta = coded_verify_side(t, "grams", "grams_a").withColumnRenamed(
+        "doc_id", "doc_a"
+    )
+    tb = coded_verify_side(t, "grams", "grams_b").withColumnRenamed(
+        "doc_id", "doc_b"
+    )
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
     rep_pairs = (
@@ -904,15 +981,22 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = d.select("doc_id", "text", grams.alias("grams"))
     cand = prefix_filter_candidates(t, 0.9, set_col="grams")
+    # The gram arrays dominate this side's bytes (text ships once,
+    # grams are ~len(text) 5-char strings each) — code them under
+    # the same knob (default ON) as the other verify stages; the
+    # levenshtein runs on the untouched text columns.
+    gcol = F.col("grams")
+    if verify_token_codes(spark):
+        gcol = F.transform(gcol, lambda x: F.xxhash64(x))
     ta = t.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("ta"),
-        F.col("grams").alias("grams_a"),
+        gcol.alias("grams_a"),
     )
     tb = t.select(
         F.col("doc_id").alias("doc_b"),
         F.col("text").alias("tb"),
-        F.col("grams").alias("grams_b"),
+        gcol.alias("grams_b"),
     )
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))

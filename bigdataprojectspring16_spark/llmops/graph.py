@@ -36,7 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.barriers import barrier, conf_knob
+from ..plans.barriers import (
+    BARRIER_STORAGE_CONF,
+    barrier,
+    conf_knob,
+    decade_regime,
+)
 from ..registry import query
 from ..tables import load_table
 
@@ -629,9 +634,10 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     width = pinned_stage_width(spark)
     # auto: shard ONLY the edge-pair distinct, and only in the decade
-    # regime (autosized width ≥ 8x the scheduler's parallelism — sf1
-    # → 1024, sf10 → 4096 at local[32]; sf0.1's 64 stays unsharded,
-    # keeping the bench plan and its measured 5.7 s wall). The pair
+    # regime (autosized width ≥ 64x the scheduler's parallelism —
+    # sf10 → 4096 at local[32]; sf1's 1024 and sf0.1's 64 both stay
+    # UNSHARDED, keeping the bench plan and its measured walls —
+    # sf1 receipt-green unsharded at 8 g since r7). The pair
     # distinct is where the measured 8 g OOM lives: its partial map
     # holds the task's expanded pairs, which are ~80% DISTINCT
     # (combine ratio ~1.25), so the map grows to hundreds of MB per
@@ -647,7 +653,7 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # have been receipt-green UNSHARDED at 8 g since r7 and the auto
     # arm costs 2x there (31.6 s vs 15-17 s, r11) — robustness tax is
     # paid exactly where failure was measured, nowhere else.
-    decade = width >= 64 * spark.sparkContext.defaultParallelism
+    decade = decade_regime(spark)
     in_auto = shard_mode == "on" or (shard_mode == "auto" and decade)
     shard_all = shard_mode == "on"
     # Decade regime: pin the loop-invariant barriers to DISK_ONLY
@@ -657,9 +663,14 @@ def graph_pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OOM (r11 receipts). DISK_ONLY keeps the pool free; re-reads ride
     # the OS page cache locally and an executor's local disk on a
     # cluster. Below the decade width the frames fit and the stock
-    # (session-conf) placement stays.
+    # (session-conf) placement stays. An EXPLICIT session
+    # barrierStorage choice outranks this pin (ADVICE r11 — the
+    # override semantics now match scale_aware_storage: "an explicit
+    # session choice wins everywhere", including under shard=on).
     inv_storage = (
-        "disk"
+        None
+        if spark.conf.get(BARRIER_STORAGE_CONF, None) is not None
+        else "disk"
         if shard_mode == "on" or (shard_mode == "auto" and decade)
         else None
     )

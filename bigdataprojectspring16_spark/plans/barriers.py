@@ -181,6 +181,19 @@ def knob(spark: SparkSession, conf_key: str, value):
             spark.conf.set(conf_key, prev)
 
 
+def decade_regime(spark: SparkSession) -> bool:
+    """True once the input-byte autosizer has raised the shuffle width
+    to ≥ 64x the scheduler's parallelism — the measured boundary where
+    single-JVM memory classes start appearing (sf100-docs' 4096 at
+    local[32]; see SCALING.md §SF100). The one shared definition for
+    every decade-gated lever (barrier placement, pre-explode
+    repartitions, sharded fixpoint aggregation, verify token codes)."""
+    from ..session import pinned_stage_width
+
+    width = pinned_stage_width(spark)
+    return width >= 64 * spark.sparkContext.defaultParallelism
+
+
 def scale_aware_storage(spark: SparkSession) -> str | None:
     """Barrier block placement for SHARED DATA-PROPORTIONAL frames:
     ``None`` (session default — deserialized memory) at fixture/bench
@@ -197,11 +210,8 @@ def scale_aware_storage(spark: SparkSession) -> str | None:
     explicitly-measured smaller regimes keep the fast stock level
     (r10: CC at sf10 memory 113 s vs disk 124 s).
     """
-    from ..session import pinned_stage_width
-
     if spark.conf.get(BARRIER_STORAGE_CONF, None) is not None:
         return None  # an explicit session choice wins everywhere
-    width = pinned_stage_width(spark)
-    if width >= 64 * spark.sparkContext.defaultParallelism:
+    if decade_regime(spark):
         return "disk"
     return None
