@@ -93,7 +93,92 @@ def scan_sites() -> list[Site]:
                     visit(child, func)
 
             visit(tree, "<module>")
+    # Two sites on one physical line would make the runtime capture's
+    # (relpath, lineno) mapping ambiguous (ADVICE r11) — reject at
+    # scan time; the convention is one broadcast per line.
+    seen_lines: set[tuple[str, int]] = set()
+    for s in sites:
+        if (s.relpath, s.lineno) in seen_lines:
+            raise ValueError(
+                f"two F.broadcast sites share {s.relpath}:{s.lineno} — "
+                "runtime capture cannot disambiguate; split the line"
+            )
+        seen_lines.add((s.relpath, s.lineno))
     return sites
+
+
+def scan_violations() -> list[str]:
+    """Alias-convention violations (ADVICE r11): the audit's AST scan
+    and runtime probe only understand broadcasts spelled exactly
+    ``F.broadcast(...)``, so every OTHER spelling that would broadcast
+    a frame must be rejected, or a future edit could slip an unbounded
+    broadcast past the pinned invariant. Flags:
+
+    - ``from pyspark.sql.functions import broadcast`` (bare-name calls
+      would bypass the F-attribute scan);
+    - any ``<alias>.broadcast(...)`` attribute call whose base is not
+      the literal ``F`` (another module alias, a dotted module path —
+      SparkContext's ``sc.broadcast`` of plain Python values is
+      exempted by name ``sc``/``spark.sparkContext``);
+    - ``.hint('broadcast')`` / ``.hint('broadcastjoin')`` /
+      ``.hint('mapjoin')`` string hints (Catalyst treats them exactly
+      like the function hint, and the probe cannot see them).
+
+    tests/test_broadcast_bounds.py asserts this returns [].
+    """
+    bad: list[str] = []
+    audit_rel = "plans/broadcast_audit.py"
+    for dirpath, _dirs, files in os.walk(PKG_ROOT):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, PKG_ROOT).replace(os.sep, "/")
+            if rel == audit_rel:
+                continue  # the probe machinery itself
+            with open(path, encoding="utf-8") as f:
+                tree = ast.parse(f.read(), filename=rel)
+            for node in ast.walk(tree):
+                if isinstance(node, ast.ImportFrom):
+                    if node.module == "pyspark.sql.functions" and any(
+                        a.name == "broadcast" for a in node.names
+                    ):
+                        bad.append(
+                            f"{rel}:{node.lineno}: direct "
+                            "'from pyspark.sql.functions import "
+                            "broadcast' — use the F.broadcast spelling"
+                        )
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                ):
+                    continue
+                attr = node.func.attr
+                base = node.func.value
+                if attr == "broadcast":
+                    base_name = base.id if isinstance(base, ast.Name) else None
+                    if base_name != "F" and base_name != "sc" and not (
+                        isinstance(base, ast.Attribute)
+                        and base.attr == "sparkContext"
+                    ):
+                        bad.append(
+                            f"{rel}:{node.lineno}: broadcast call on "
+                            f"base {ast.dump(base)[:60]!r} — only "
+                            "F.broadcast(...) is audited"
+                        )
+                elif attr == "hint":
+                    for arg in node.args:
+                        if isinstance(arg, ast.Constant) and isinstance(
+                            arg.value, str
+                        ) and arg.value.lower() in (
+                            "broadcast", "broadcastjoin", "mapjoin"
+                        ):
+                            bad.append(
+                                f"{rel}:{node.lineno}: string hint "
+                                f"{arg.value!r} — invisible to the "
+                                "broadcast audit; use F.broadcast(...)"
+                            )
+    return bad
 
 
 def capture_counts(

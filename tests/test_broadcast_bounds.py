@@ -19,6 +19,7 @@ from bigdataprojectspring16_spark.plans.broadcast_audit import (
     BOUND_TABLE,
     capture_counts,
     scan_sites,
+    scan_violations,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
@@ -72,3 +73,12 @@ def test_measured_broadcast_counts_within_bounds(spark):
         f"sites never hit by registry construction (mark "
         f"'unexercised:' with a pinning test, or cover them): {missed}"
     )
+
+
+def test_no_unauditable_broadcast_spellings():
+    """ADVICE r11: the audit only understands ``F.broadcast(...)``.
+    Any other spelling that would broadcast a frame — a direct
+    functions import, another module alias, a .hint('broadcast')
+    string — must not exist in the package, or a future edit could
+    slip an unbounded broadcast past the pinned invariant."""
+    assert scan_violations() == []
