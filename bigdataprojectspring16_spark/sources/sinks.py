@@ -103,8 +103,47 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
     matching the NEW source while the layout holds OLD data
     (tests/test_bucketing.py pins both interleavings).
     """
-    import fcntl
     import hashlib
+    import os
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    plan = (
+        ("orders", f"b_orders_{tag}", "o_orderkey", ["o_orderkey"]),
+        ("lineitem", f"b_lineitem_{tag}", "l_orderkey", ["l_orderkey"]),
+    )
+    return _ensure_bucketed(spark, sf_dir, plan, f"bucketed_{tag}")
+
+
+def ensure_bucketed_events(spark, sf_dir: str) -> tuple[str, str]:
+    """Write-once bucketed events/customer tables for ``sf_dir``;
+    returns their catalog names.
+
+    The skew-family lever (VERDICT r11 #7): ``events`` bucketed on
+    ``user_id`` (sorted by user_id, ts — the sessionization window
+    order) and ``customer`` on ``c_custkey`` with the same bucket
+    count, so the skewed stream⋈dim equi-join and every
+    user_id-keyed aggregation/window read pre-shuffled buckets.
+    Same freshness/stamping/locking contract as
+    :func:`ensure_bucketed_pair` (shared ``_ensure_bucketed``
+    machinery; A/B receipt tools/receipts/bucketed_skew_ab_r12.txt)."""
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    plan = (
+        ("events", f"b_events_{tag}", "user_id", ["user_id", "ts"]),
+        ("customer", f"b_customer_{tag}", "c_custkey", ["c_custkey"]),
+    )
+    return _ensure_bucketed(spark, sf_dir, plan, f"bucketed_ev_{tag}")
+
+
+def _ensure_bucketed(spark, sf_dir: str, plan, lock_tag: str):
+    """Shared write-once machinery behind the ``ensure_bucketed_*``
+    layouts; ``plan`` rows are (source table, catalog name, bucket
+    key, sort cols). The freshness, stamping, and locking contract is
+    documented on :func:`ensure_bucketed_pair` and pinned by
+    tests/test_bucketing.py."""
+    import fcntl
     import os
     import shutil
     import tempfile
@@ -112,12 +151,7 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
 
     from ..tables import load_table, table_path
 
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    plan = (
-        ("orders", f"b_orders_{tag}", "o_orderkey"),
-        ("lineitem", f"b_lineitem_{tag}", "l_orderkey"),
-    )
-    names = tuple(name for _src, name, _key in plan)
+    names = tuple(name for _src, name, _key, _sort in plan)
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse"
     ).removeprefix("file:")
@@ -166,25 +200,27 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
                 return True
 
     lock_path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_bucketed_{tag}.lock"
+        tempfile.gettempdir(), f"spark_graft_{lock_tag}.lock"
     )
     if all(
         spark.catalog.tableExists(n) and _fresh(s, n, _src_stat(s))
-        for s, n, _k in plan
+        for s, n, _k, _srt in plan
     ):
         # Confirm under a shared lock: excludes a writer holding the
         # exclusive lock mid-invalidation (ADVICE r10).
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_SH)
             try:
-                if all(_fresh(s, n, _src_stat(s)) for s, n, _k in plan):
+                if all(
+                    _fresh(s, n, _src_stat(s)) for s, n, _k, _srt in plan
+                ):
                     return names
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
     with open(lock_path, "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
-            for src, name, key in plan:
+            for src, name, key, sort_cols in plan:
                 # One pre-write stat per table: the freshness decision,
                 # every destructive step, and the stamp all use THIS
                 # value, so a regeneration racing any later step can
@@ -221,7 +257,8 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
                     )
                     spark.sql(
                         f"CREATE TABLE {name} ({cols}) USING parquet "
-                        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                        f"CLUSTERED BY ({key}) "
+                        f"SORTED BY ({', '.join(sort_cols)}) "
                         f"INTO 8 BUCKETS LOCATION '{loc}'"
                     )
                     _write_stamp(name, pre)
@@ -232,7 +269,7 @@ def ensure_bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
                     name,
                     [key],
                     num_buckets=8,
-                    sort_cols=[key],
+                    sort_cols=sort_cols,
                 )
                 _write_stamp(name, pre)
         finally:
