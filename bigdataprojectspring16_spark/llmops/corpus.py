@@ -536,7 +536,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is the keyed prefix equi-join (nested-loop-free).
     """
     from .dedup import (
-        coded_verify_side,
+        coded_sets,
         contract_identical_sets,
         prefix_filter_candidates,
     )
@@ -547,20 +547,18 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
     )
     reps, members = contract_identical_sets(t)
+    # Whole-pipeline token coding (default ON — dedup.coded_sets):
+    # the sweep's postings, prefix self-join and exact-verify all
+    # shuffle 8-byte codes; recall 1.0 under any global token order.
+    reps = coded_sets(reps, "toks")
     sizes = members.groupBy("rep_id").agg(F.count(F.lit(1)).alias("g"))
     intra = sizes.agg(
         F.sum(F.col("g") * (F.col("g") - 1) / 2).cast("long").alias("n_pairs")
     ).select(F.lit("0.95-1.00").alias("band"), "n_pairs")
 
     cand = prefix_filter_candidates(reps, 0.7)
-    # Exact-verify over xxhash64 codes (default ON — the dedup.py
-    # verify-coding knob; set-function Jaccard is preserved).
-    ta = coded_verify_side(reps, "toks", "toks_a").withColumnRenamed(
-        "doc_id", "doc_a"
-    )
-    tb = coded_verify_side(reps, "toks", "toks_b").withColumnRenamed(
-        "doc_id", "doc_b"
-    )
+    ta = reps.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = reps.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
     ga = sizes.select(F.col("rep_id").alias("doc_a"), F.col("g").alias("g_a"))

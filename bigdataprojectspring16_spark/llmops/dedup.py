@@ -113,6 +113,30 @@ def coded_verify_side(t: DataFrame, set_col: str, alias: str) -> DataFrame:
     return t.select("doc_id", col.alias(alias))
 
 
+def coded_sets(t: DataFrame, set_col: str) -> DataFrame:
+    """Replace a set column's string elements with xxhash64 codes
+    (knob-gated, same knob as :func:`coded_verify_side`) BEFORE
+    candidate generation — so the fact-sized posting explode, the
+    document-frequency aggregation, the prefix self-join, AND the
+    exact-verify all shuffle 8-byte codes instead of ~15 B strings.
+
+    Valid ONLY for the prefix-filter family: its recall-1.0 guarantee
+    holds under ANY global token order (the AllPairs pigeonhole needs
+    a total order, not a specific one), so re-basing the (df, term)
+    order onto (df, code) — and even merging the rare colliding
+    term pair into one posting key — can only grow the candidate
+    superset, never drop a true pair; the exact verify then yields
+    the identical final result (pinned on/off in
+    tests/test_scale_paths.py). NOT applied to the minhash path:
+    its signatures are functions of the token STRINGS, and re-basing
+    them would re-roll the banding's per-copy recall."""
+    if verify_token_codes(t.sparkSession):
+        return t.withColumn(
+            set_col, F.transform(set_col, lambda x: F.xxhash64(x))
+        )
+    return t
+
+
 def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
     """Collapse docs with identical sets to one representative.
 
@@ -404,15 +428,13 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (including the contracted corpus's df order) — so the quadratic
     # phases run on one representative per distinct token set.
     t, m = contract_identical_sets(full)
+    # Whole-pipeline token coding (default ON — coded_sets docstring):
+    # postings, df agg, prefix self-join and exact-verify all shuffle
+    # 8-byte codes; recall 1.0 holds under any global token order.
+    t = coded_sets(t, "toks")
     cand = prefix_filter_candidates(t, 0.95)
-    # Exact-verify over xxhash64 codes (default ON — same knob +
-    # rationale as dedup_minhash_lsh's verify stage).
-    ta = coded_verify_side(t, "toks", "toks_a").withColumnRenamed(
-        "doc_id", "doc_a"
-    )
-    tb = coded_verify_side(t, "toks", "toks_b").withColumnRenamed(
-        "doc_id", "doc_b"
-    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
     rep_pairs = (
@@ -800,16 +822,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t_full = d.select("doc_id", grams.alias("grams"))
     t, m = contract_identical_sets(t_full, set_col="grams")
+    # Whole-pipeline gram coding (default ON — coded_sets docstring).
+    t = coded_sets(t, "grams")
     cand = prefix_filter_candidates(t, 0.9, set_col="grams")
-    # Exact-verify over xxhash64 codes (default ON — same knob +
-    # rationale as dedup_minhash_lsh's verify stage; 5-gram Jaccard
-    # is equally a set function).
-    ta = coded_verify_side(t, "grams", "grams_a").withColumnRenamed(
-        "doc_id", "doc_a"
-    )
-    tb = coded_verify_side(t, "grams", "grams_b").withColumnRenamed(
-        "doc_id", "doc_b"
-    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
     rep_pairs = (
@@ -979,24 +996,23 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST(array() AS array<string>) END"
         )
     )
-    t = d.select("doc_id", "text", grams.alias("grams"))
+    # Whole-pipeline gram coding (default ON — coded_sets docstring);
+    # the gram arrays dominate every shuffle (text ships once, grams
+    # are ~len(text) 5-char strings each); the levenshtein runs on
+    # the untouched text columns.
+    t = coded_sets(
+        d.select("doc_id", "text", grams.alias("grams")), "grams"
+    )
     cand = prefix_filter_candidates(t, 0.9, set_col="grams")
-    # The gram arrays dominate this side's bytes (text ships once,
-    # grams are ~len(text) 5-char strings each) — code them under
-    # the same knob (default ON) as the other verify stages; the
-    # levenshtein runs on the untouched text columns.
-    gcol = F.col("grams")
-    if verify_token_codes(spark):
-        gcol = F.transform(gcol, lambda x: F.xxhash64(x))
     ta = t.select(
         F.col("doc_id").alias("doc_a"),
         F.col("text").alias("ta"),
-        gcol.alias("grams_a"),
+        F.col("grams").alias("grams_a"),
     )
     tb = t.select(
         F.col("doc_id").alias("doc_b"),
         F.col("text").alias("tb"),
-        gcol.alias("grams_b"),
+        F.col("grams").alias("grams_b"),
     )
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))

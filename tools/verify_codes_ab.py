@@ -50,6 +50,7 @@ def run(key: str, arm: str):
 
 fails = []
 for key in KEYS:
+    run(key, "off")  # warm both arms' inputs before any timed run
     w_off, j_off, n_off, h_off = run(key, "off")
     w_on, j_on, n_on, h_on = run(key, "on")
     verdict = "MATCH" if h_on == h_off else "HASH MISMATCH"
