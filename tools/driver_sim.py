@@ -79,6 +79,11 @@ HEAVY_ORACLE_KEYS = {
     "sim_pairs_threshold",
     "dedup_threshold_sweep",
     "dedup_ngram_jaccard",
+    # r12 prewarm discovery: all-pairs jaccard edges + a recursive
+    # reachability CTE — ~1h single-run at sf0.1, invisible to the
+    # r11 sweeps because they died before reaching it alphabetically.
+    "docs_leakage_safe_split",
+    "docs_subset_containment",
 }
 _heavy_last = os.environ.get("DRIVER_SIM_HEAVY_LAST") == "1"
 def _order(name):
