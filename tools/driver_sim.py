@@ -66,22 +66,25 @@ oracles = mod.oracle_sql()
 
 
 only = set(sys.argv[1:])
-#: Keys whose DUCKDB oracle is pathologically slow at sf0.1+ (the
-#: edit-distance dynamic program and the two all-pairs cosine sweeps
-#: run 30-60+ min single-threaded). With DRIVER_SIM_HEAVY_LAST=1
-#: they sort to the END so a time-boxed closing sweep covers the
-#: most keys before any cutoff (r11 lesson: the first full sf0.1
-#: closing leg sat on dedup_edit_distance for the last hour of the
-#: round).
+#: Keys whose DUCKDB oracle is pathologically slow at sf0.1+. The r12
+#: prewarm measured them all (tools/oracle_cache *.json carry
+#: oracle_secs): docs_leakage_safe_split 6891s (all-pairs jaccard
+#: edges + recursive reachability CTE — invisible to the r11 sweeps,
+#: which died before reaching it alphabetically),
+#: dedup_edit_distance 3119s, dedup_ngram_jaccard 3118s,
+#: dedup_threshold_sweep 606s, dedup_near_jaccard 208s,
+#: docs_subset_containment 176s, dedup_minhash_lsh 148s. With
+#: DRIVER_SIM_HEAVY_LAST=1 they sort to the END so a time-boxed
+#: closing sweep covers the most keys before any cutoff; with the
+#: oracle cache (default ON) they cost nothing after the first run.
 HEAVY_ORACLE_KEYS = {
     "dedup_edit_distance",
     "dedup_embedding_cosine",
     "sim_pairs_threshold",
     "dedup_threshold_sweep",
     "dedup_ngram_jaccard",
-    # r12 prewarm discovery: all-pairs jaccard edges + a recursive
-    # reachability CTE — ~1h single-run at sf0.1, invisible to the
-    # r11 sweeps because they died before reaching it alphabetically.
+    "dedup_near_jaccard",
+    "dedup_minhash_lsh",
     "docs_leakage_safe_split",
     "docs_subset_containment",
 }
