@@ -8,7 +8,12 @@ construction: every near-dup pair lives INSIDE one copy, each copy's
 pair set is isomorphic to the sf0.1 pair set, and the exact-verified
 banding result must satisfy
   - cross-copy pairs == 0            (disjointness invariant),
-  - sampled copies hash-EXACT vs the DuckDB-verified sf0.1 result,
+  - every sampled copy is a SUBSET of the sf0.1 pair set (precision
+    1.0 — the exact-verify stage admits no false pair) with per-copy
+    recall >= the floor; hash-EXACT when the copy is complete
+    (banding recall is per-copy probabilistic, so an occasional copy
+    misses a pair — r12's sf50 copy 250 missed exactly one of
+    190,925),
   - total recall = pairs / (COPIES x sf0.1 pairs) >= the 0.9
     contract floor (banding is probabilistic per copy — the COPIES x
     bound is an upper bound, not an equality; precision is 1.0 by
@@ -57,9 +62,13 @@ print(
 )
 
 # Materialize the big result ONCE; every audit query reads it back.
+# AUDIT_REUSE=1 reuses an existing materialization (e.g. re-running
+# only the audit queries after an adjudication-logic fix).
 out = f"/tmp/copy_audit_{os.path.basename(BIG_DIR)}_{KEY}"
 t0 = time.time()
-QUERIES[KEY](spark, BIG_DIR).write.mode("overwrite").parquet(out)
+if not (os.environ.get("AUDIT_REUSE") == "1"
+        and os.path.exists(f"{out}/_SUCCESS")):
+    QUERIES[KEY](spark, BIG_DIR).write.mode("overwrite").parquet(out)
 pairs = spark.read.parquet(out)
 total = pairs.count()
 expect = COPIES * len(ref_rows)
@@ -76,7 +85,8 @@ cross = pairs.where(
 ).count()
 print(f"cross-copy pairs (must be 0): {cross}", flush=True)
 
-copy_fails = []
+ref_set = {tuple(r) for r in ref_rows}
+copy_fails, exact = [], 0
 for c in sample:
     lo, hi = c * STRIDE, c * STRIDE + STRIDE - 1
     rows = (
@@ -88,21 +98,27 @@ for c in sample:
         )
         .collect()
     )
-    h = pair_hash(rows)
-    verdict = "MATCH" if (h == ref_h and len(rows) == len(ref_rows)) else "MISMATCH"
-    if verdict != "MATCH":
+    rows_set = {tuple(r) for r in rows}
+    false_pairs = len(rows_set - ref_set)
+    c_recall = len(rows_set & ref_set) / len(ref_set)
+    if len(rows) == len(ref_rows) and pair_hash(rows) == ref_h:
+        verdict = "hash-EXACT"
+        exact += 1
+    elif false_pairs == 0 and c_recall >= 0.9:
+        verdict = (f"SUBSET recall {len(rows_set)}/{len(ref_set)} "
+                   "(banding miss, precision 1.0)")
+    else:
+        verdict = f"FAIL ({false_pairs} false pairs, recall {c_recall:.4f})"
         copy_fails.append(c)
-    print(
-        f"copy {c}: {len(rows)} pairs, hash {h} vs ref -> {verdict}",
-        flush=True,
-    )
+    print(f"copy {c}: {len(rows)} pairs -> {verdict}", flush=True)
 
 ok = cross == 0 and not copy_fails and total / expect >= 0.9
 print(
     f"\nADJUDICATION: {'PASS' if ok else 'FAIL'} — recall "
     f"{total}/{expect} = {100 * total / expect:.3f}% "
-    f"(contract floor 90%); sampled copies "
-    f"{'all hash-EXACT' if not copy_fails else f'FAILED {copy_fails}'}; "
+    f"(contract floor 90%); sampled copies: {exact}/{len(sample)} "
+    f"hash-EXACT, 0 false pairs in every sample"
+    f"{'' if not copy_fails else f'; FAILED {copy_fails}'}; "
     f"cross-copy {cross}",
     flush=True,
 )
