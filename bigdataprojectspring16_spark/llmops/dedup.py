@@ -71,9 +71,11 @@ def _materialize_shared(df):
 #: (codes only in the decade regime). Default ON by measurement
 #: (tools/receipts/verify_codes_ab_r12.txt): all five coded keys
 #: hash-IDENTICAL to the string form at sf0.1 with the SAME job
-#: counts and 12-17% lower walls even at bench scale — the coding is
-#: a pure map-side projection, so there is no scale at which the
-#: string form wins. Fixture-scale on-vs-off equality is pinned in
+#: counts; fair warmed walls are -22% on the gram-based keys,
+#: neutral on the token-based ones, +4% on threshold_sweep — and
+#: the decade receipts are decisive (sf30 fits local scratch at the
+#: default heap only coded; sf50's ~59 GB peak spill only fits
+#: coded). Fixture-scale on-vs-off equality is pinned in
 #: tests/test_scale_paths.py; every driver oracle check runs the
 #: coded plan.
 VERIFY_TOKEN_CODES = "on"

@@ -34,9 +34,12 @@ spark = get_session("verify-codes-ab")
 sc = spark.sparkContext
 
 
-def run(key: str, arm: str):
+def run(key: str, arm: str, group_suffix: str = ""):
     with knob(spark, VERIFY_TOKEN_CODES_CONF, arm):
-        group = f"{key}#{arm}"
+        # group must be unique per invocation: the tracker accumulates
+        # job ids per group string, so a warmup sharing the timed
+        # run's group would double the reported job count.
+        group = f"{key}#{arm}{group_suffix}"
         sc.setJobGroup(group, key)
         t0 = time.perf_counter()
         rows = QUERIES[key](spark, SF_DIR).collect()
@@ -50,7 +53,7 @@ def run(key: str, arm: str):
 
 fails = []
 for key in KEYS:
-    run(key, "off")  # warm both arms' inputs before any timed run
+    run(key, "off", "#warm")  # warm inputs before any timed run
     w_off, j_off, n_off, h_off = run(key, "off")
     w_on, j_on, n_on, h_on = run(key, "on")
     verdict = "MATCH" if h_on == h_off else "HASH MISMATCH"
