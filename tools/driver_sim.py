@@ -87,12 +87,12 @@ HEAVY_ORACLE_KEYS = {
     "dedup_minhash_lsh",
     "docs_leakage_safe_split",
     "docs_subset_containment",
-    # The three recursive-CTE graph oracles also run 40+ min each at
-    # sf0.1 (r12 prewarm; every other oracle-keyed key warms in
-    # seconds — the full remainder of the registry took < 5 min).
+    # The two recursive-reachability graph oracles run ~90 min each
+    # at sf0.1 (r12 prewarm: cluster_keep_best 5535s, cc 5390s;
+    # pagerank_rounds' unrolled-rounds oracle is NOT heavy — 2.0s —
+    # and every other oracle-keyed key warms in seconds).
     "graph_cluster_keep_best",
     "graph_connected_components",
-    "graph_pagerank_rounds",
 }
 _heavy_last = os.environ.get("DRIVER_SIM_HEAVY_LAST") == "1"
 def _order(name):
