@@ -122,7 +122,12 @@ def scan_violations() -> list[str]:
       exempted by name ``sc``/``spark.sparkContext``);
     - ``.hint('broadcast')`` / ``.hint('broadcastjoin')`` /
       ``.hint('mapjoin')`` string hints (Catalyst treats them exactly
-      like the function hint, and the probe cannot see them).
+      like the function hint, and the probe cannot see them);
+    - any ``.hint(...)`` whose hint NAME is not a string literal
+      (ADVICE r12: ``df.hint(h)`` with ``h = 'broadcast'`` resolved at
+      runtime would bypass the literal check above — an unknown hint
+      name is unauditable, so it is rejected outright; the package's
+      only sanctioned hints are literal ``'merge'`` pins).
 
     tests/test_broadcast_bounds.py asserts this returns [].
     """
@@ -137,47 +142,70 @@ def scan_violations() -> list[str]:
             if rel == audit_rel:
                 continue  # the probe machinery itself
             with open(path, encoding="utf-8") as f:
-                tree = ast.parse(f.read(), filename=rel)
-            for node in ast.walk(tree):
-                if isinstance(node, ast.ImportFrom):
-                    if node.module == "pyspark.sql.functions" and any(
-                        a.name == "broadcast" for a in node.names
-                    ):
-                        bad.append(
-                            f"{rel}:{node.lineno}: direct "
-                            "'from pyspark.sql.functions import "
-                            "broadcast' — use the F.broadcast spelling"
-                        )
-                if not (
-                    isinstance(node, ast.Call)
-                    and isinstance(node.func, ast.Attribute)
-                ):
-                    continue
-                attr = node.func.attr
-                base = node.func.value
-                if attr == "broadcast":
-                    base_name = base.id if isinstance(base, ast.Name) else None
-                    if base_name != "F" and base_name != "sc" and not (
-                        isinstance(base, ast.Attribute)
-                        and base.attr == "sparkContext"
-                    ):
-                        bad.append(
-                            f"{rel}:{node.lineno}: broadcast call on "
-                            f"base {ast.dump(base)[:60]!r} — only "
-                            "F.broadcast(...) is audited"
-                        )
-                elif attr == "hint":
-                    for arg in node.args:
-                        if isinstance(arg, ast.Constant) and isinstance(
-                            arg.value, str
-                        ) and arg.value.lower() in (
-                            "broadcast", "broadcastjoin", "mapjoin"
-                        ):
-                            bad.append(
-                                f"{rel}:{node.lineno}: string hint "
-                                f"{arg.value!r} — invisible to the "
-                                "broadcast audit; use F.broadcast(...)"
-                            )
+                bad.extend(scan_source(rel, f.read()))
+    return bad
+
+
+def scan_source(rel: str, source: str) -> list[str]:
+    """The per-file half of :func:`scan_violations`, split out so the
+    detector itself is unit-testable against synthetic sources
+    (tests/test_broadcast_bounds.py feeds it each forbidden spelling
+    and asserts it fires — the package-clean assertion alone can't
+    distinguish 'no violations' from 'scanner is blind')."""
+    bad: list[str] = []
+    tree = ast.parse(source, filename=rel)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if node.module == "pyspark.sql.functions" and any(
+                a.name == "broadcast" for a in node.names
+            ):
+                bad.append(
+                    f"{rel}:{node.lineno}: direct "
+                    "'from pyspark.sql.functions import "
+                    "broadcast' — use the F.broadcast spelling"
+                )
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+        ):
+            continue
+        attr = node.func.attr
+        base = node.func.value
+        if attr == "broadcast":
+            base_name = base.id if isinstance(base, ast.Name) else None
+            if base_name != "F" and base_name != "sc" and not (
+                isinstance(base, ast.Attribute)
+                and base.attr == "sparkContext"
+            ):
+                bad.append(
+                    f"{rel}:{node.lineno}: broadcast call on "
+                    f"base {ast.dump(base)[:60]!r} — only "
+                    "F.broadcast(...) is audited"
+                )
+        elif attr == "hint":
+            # The hint NAME is the first positional argument.
+            # A non-literal name (variable, f-string, *args,
+            # or no args at all) cannot be adjudicated
+            # statically — reject as unauditable (ADVICE r12).
+            name_arg = node.args[0] if node.args else None
+            if not (
+                isinstance(name_arg, ast.Constant)
+                and isinstance(name_arg.value, str)
+            ):
+                bad.append(
+                    f"{rel}:{node.lineno}: .hint(...) with a "
+                    "non-literal hint name — unauditable by "
+                    "the broadcast scan; spell the hint as a "
+                    "string literal"
+                )
+            elif name_arg.value.lower() in (
+                "broadcast", "broadcastjoin", "mapjoin"
+            ):
+                bad.append(
+                    f"{rel}:{node.lineno}: string hint "
+                    f"{name_arg.value!r} — invisible to the "
+                    "broadcast audit; use F.broadcast(...)"
+                )
     return bad
 
 

@@ -82,3 +82,33 @@ def test_no_unauditable_broadcast_spellings():
     string — must not exist in the package, or a future edit could
     slip an unbounded broadcast past the pinned invariant."""
     assert scan_violations() == []
+
+
+def test_scanner_detects_each_forbidden_spelling():
+    """The package-clean assertion above can't distinguish 'no
+    violations' from 'scanner is blind' — feed each forbidden
+    spelling to the per-file detector and assert it fires (the
+    non-literal hint case is the ADVICE r12 gap: ``df.hint(h)`` with
+    ``h = 'broadcast'`` used to bypass the literal-string check)."""
+    from bigdataprojectspring16_spark.plans.broadcast_audit import scan_source
+
+    firing = [
+        "from pyspark.sql.functions import broadcast",
+        "import pyspark.sql.functions as pf\npf.broadcast(df)",
+        "df.hint('broadcast')",
+        "df.hint('BroadcastJoin')",
+        "df.hint('mapjoin')",
+        "h = 'broadcast'\ndf.hint(h)",          # variable hint name
+        "df.hint(*hints)",                       # starred — not a literal
+        "df.hint()",                             # no name at all
+    ]
+    for src in firing:
+        assert scan_source("synthetic.py", src), f"scanner blind to: {src!r}"
+    clean = [
+        "import pyspark.sql.functions as F\nF.broadcast(df)",
+        "df.hint('merge')",
+        "sc.broadcast([1, 2])",
+        "spark.sparkContext.broadcast([1, 2])",
+    ]
+    for src in clean:
+        assert scan_source("synthetic.py", src) == [], f"false positive: {src!r}"

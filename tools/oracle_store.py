@@ -46,13 +46,44 @@ def comparator_version() -> str:
         return hashlib.sha256(fh.read()).hexdigest()[:12]
 
 
+def _edge_hash(path: str, st: os.stat_result, edge: int = 65536) -> str:
+    """sha256 over the first and last ``edge`` bytes of the file — the
+    cheap content signal (ADVICE r12): an in-place regeneration that
+    preserves (size, mtime_ns) — e.g. ``cp -p`` of a same-size file —
+    must still re-key the cache. Parquet puts the footer (row-group
+    offsets, column stats, created_by) in the tail, so any
+    re-encoding lands in the last 64 KiB even when the head repeats.
+    """
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        h.update(fh.read(edge))
+        if st.st_size > edge:
+            fh.seek(max(edge, st.st_size - edge))
+            h.update(fh.read(edge))
+    return h.hexdigest()[:16]
+
+
 def data_fingerprint(sf_dir: str) -> str:
+    """Per-table (size, mtime_ns, edge-content-hash) fingerprint.
+
+    r13 (ADVICE r12): the fingerprint gained the edge hash — the old
+    (size, mtime_ns)-only form replayed stale verdicts for a
+    timestamp-preserving regeneration, the exact failure mode the
+    bucketed-layout stamps were hardened against in r11. Changing the
+    fingerprint re-keys every existing entry; tools/
+    migrate_oracle_cache.py re-keyed the r12 cache once under the
+    old scheme's own trust (receipt oracle_cache_migration_r13.txt),
+    and the mechanical cache audit (DRIVER_SIM_CACHE_AUDIT) re-runs
+    sampled verdicts live per sweep from then on.
+    """
     parts = []
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         try:
             st = os.stat(path)
-            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+            parts.append(
+                f"{t}:{st.st_size}:{st.st_mtime_ns}:{_edge_hash(path, st)}"
+            )
         except OSError:
             parts.append(f"{t}:absent")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
