@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import money
 from ..registry import query
-from ..tables import load_table, ts_seconds
+from ..tables import load_skew_table, load_table, ts_seconds
 
 
 @query(
@@ -53,8 +53,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is enforced, not just co-occurrence. Three keyed
     aggregations + two equi-joins on user_id; the final counts are
     single-row global aggregates.
+
+    Physical layout (r13, VERDICT r12 #1): events/customer load via
+    the write-once bucketed layout (``tables.load_skew_table``,
+    knob ``SPARK_GRAFT_BUCKETED_EVENTS``, default ON — 50→18
+    exchanges across the 8 skew-family keys at sf0.1, rows equal;
+    receipts tools/receipts/bucketed_skew_ab_r12.txt and
+    bucketed_skew_declared_r13.txt). Semantics are flat-table
+    truth either way — the oracle never sees the layout.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_skew_table(spark, sf_dir, "events")
     su = (
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -123,8 +131,16 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (end, start) in Spark vs (unit, start, end) in DuckDB, and
     day-truncation yields TIMESTAMP in Spark but DATE in DuckDB —
     ``to_date`` aligns the output type.
+
+    Physical layout (r13, VERDICT r12 #1): events/customer load via
+    the write-once bucketed layout (``tables.load_skew_table``,
+    knob ``SPARK_GRAFT_BUCKETED_EVENTS``, default ON — 50→18
+    exchanges across the 8 skew-family keys at sf0.1, rows equal;
+    receipts tools/receipts/bucketed_skew_ab_r12.txt and
+    bucketed_skew_declared_r13.txt). Semantics are flat-table
+    truth either way — the oracle never sees the layout.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_skew_table(spark, sf_dir, "events")
     day = F.to_date(F.col("ts"))
     firstday = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
     activity = ev.select("user_id", day.alias("active_day")).distinct()
@@ -288,8 +304,16 @@ def sessionize_gap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation ride it. The cumulative-sum window orders by
     (ts, is_new DESC) — tie-safe in both engines even if a boundary
     and a non-boundary event share a timestamp.
+
+    Physical layout (r13, VERDICT r12 #1): events/customer load via
+    the write-once bucketed layout (``tables.load_skew_table``,
+    knob ``SPARK_GRAFT_BUCKETED_EVENTS``, default ON — 50→18
+    exchanges across the 8 skew-family keys at sf0.1, rows equal;
+    receipts tools/receipts/bucketed_skew_ab_r12.txt and
+    bucketed_skew_declared_r13.txt). Semantics are flat-table
+    truth either way — the oracle never sees the layout.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_skew_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Gap at FULL microsecond precision (unix_micros), not epoch
     # seconds: floor(a) - floor(b) can equal 1800 while the true gap
@@ -638,8 +662,16 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-normalized probability runs as an unordered window over the
     tiny aggregate. The only fact-sized exchange is the user_id
     partitioning the sessionization family already uses.
+
+    Physical layout (r13, VERDICT r12 #1): events/customer load via
+    the write-once bucketed layout (``tables.load_skew_table``,
+    knob ``SPARK_GRAFT_BUCKETED_EVENTS``, default ON — 50→18
+    exchanges across the 8 skew-family keys at sf0.1, rows equal;
+    receipts tools/receipts/bucketed_skew_ab_r12.txt and
+    bucketed_skew_declared_r13.txt). Semantics are flat-table
+    truth either way — the oracle never sees the layout.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_skew_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
@@ -1239,8 +1271,16 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``epoch()`` keeps microseconds — a whole-second truncation here
     shifts the decay factor by up to λ/86400 per event, which is
     visible after rounding (measured: 2210.765 vs 2210.767).
+
+    Physical layout (r13, VERDICT r12 #1): events/customer load via
+    the write-once bucketed layout (``tables.load_skew_table``,
+    knob ``SPARK_GRAFT_BUCKETED_EVENTS``, default ON — 50→18
+    exchanges across the 8 skew-family keys at sf0.1, rows equal;
+    receipts tools/receipts/bucketed_skew_ab_r12.txt and
+    bucketed_skew_declared_r13.txt). Semantics are flat-table
+    truth either way — the oracle never sees the layout.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_skew_table(spark, sf_dir, "events")
     ref = ev.agg(F.max("ts").alias("ref_ts"))
     frac_secs = lambda c: c.cast("timestamp_ltz").cast("double")
     age_days = (
@@ -1456,8 +1496,16 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with every other stage unchanged (the `events_anomaly_mad`
     convention).  Each user's first event contributes no gap on
     either engine.
+
+    Physical layout (r13, VERDICT r12 #1): events/customer load via
+    the write-once bucketed layout (``tables.load_skew_table``,
+    knob ``SPARK_GRAFT_BUCKETED_EVENTS``, default ON — 50→18
+    exchanges across the 8 skew-family keys at sf0.1, rows equal;
+    receipts tools/receipts/bucketed_skew_ab_r12.txt and
+    bucketed_skew_declared_r13.txt). Semantics are flat-table
+    truth either way — the oracle never sees the layout.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_skew_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     seq = ev.select(

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions import money
 from ..registry import query
-from ..tables import load_table, ts_seconds
+from ..tables import load_skew_table, load_table, ts_seconds
 
 
 @query(
@@ -448,9 +448,17 @@ def join_skew_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.value sits on the 2-dp grid (tests/test_money_grid.py),
     making cents exact and the 2-dp display identical to the old
     4-dp round of the float sum.
+
+    Physical layout (r13, VERDICT r12 #1): events/customer load via
+    the write-once bucketed layout (``tables.load_skew_table``,
+    knob ``SPARK_GRAFT_BUCKETED_EVENTS``, default ON — 50→18
+    exchanges across the 8 skew-family keys at sf0.1, rows equal;
+    receipts tools/receipts/bucketed_skew_ab_r12.txt and
+    bucketed_skew_declared_r13.txt). Semantics are flat-table
+    truth either way — the oracle never sees the layout.
     """
-    ev = load_table(spark, sf_dir, "events")
-    c = load_table(spark, sf_dir, "customer")
+    ev = load_skew_table(spark, sf_dir, "events")
+    c = load_skew_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         "c_custkey", "n_name"

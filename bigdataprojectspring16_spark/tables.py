@@ -93,6 +93,64 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Session knob for the skew-family bucketed layout (VERDICT r12 #1).
+#: Default ON by measurement: the declared-plan A/B at sf0.1 shows
+#: 50→18 executed exchanges across the 8 skew-family keys with rows
+#: equal 8/8 and every wall faster
+#: (tools/receipts/bucketed_skew_ab_r12.txt — lever receipt;
+#: tools/receipts/bucketed_skew_declared_r13.txt — declared plans).
+#: Set to "0" to force the flat parquet scans (the semantics are
+#: identical either way — the oracle strings state flat-table truth).
+BUCKETED_EVENTS_ENV = "SPARK_GRAFT_BUCKETED_EVENTS"
+
+
+def bucketed_events_enabled() -> bool:
+    return os.environ.get(BUCKETED_EVENTS_ENV, "1").lower() not in (
+        "0", "false", "no"
+    )
+
+
+def load_skew_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """events/customer via the write-once bucketed layout (default ON).
+
+    The skew family — the events⋈customer equi-join that funnels the
+    whole stream through the hot 10% of customer keys, plus every
+    sessionization/funnel/window plan that re-shuffles events on
+    user_id — reads ``ensure_bucketed_events``'s layout instead of
+    the flat parquet: events bucketed+sorted on (user_id, ts),
+    customer on c_custkey, 8 buckets each, so the bucketing IS the
+    shuffle, paid once at write time (the 100 TB lever: at cluster
+    scale the bucket count is sized to the data and the same layout
+    amortizes across every downstream query; measured 50→18
+    exchanges at sf0.1, receipts above).
+
+    Falls back to the flat scan — semantically identical — when the
+    knob is off or the layout can't be built (read-only warehouse);
+    the fallback warns so a silently-degraded run is visible.
+    """
+    if name not in ("events", "customer") or not bucketed_events_enabled():
+        return load_table(spark, sf_dir, name)
+    try:
+        # Local import: sources.sinks imports from this module.
+        from .sources.sinks import ensure_bucketed_events
+
+        b_events, b_customer = ensure_bucketed_events(spark, sf_dir)
+    except Exception as exc:  # layout build failed — flat is correct
+        import warnings
+
+        warnings.warn(
+            f"bucketed events/customer layout unavailable ({exc!r}); "
+            "falling back to flat parquet scans",
+            stacklevel=2,
+        )
+        return load_table(spark, sf_dir, name)
+    ensure_session_confs(spark)
+    # Shuffle autosizing keys on the SOURCE bytes, same as the flat
+    # path — the bucketed copy holds identical data.
+    autosize_shuffle_partitions(spark, input_bytes(table_path(sf_dir, name)))
+    return spark.table(b_events if name == "events" else b_customer)
+
+
 def fan_out_small_scan(df: DataFrame) -> DataFrame:
     """Fixture-scale escape hatch for compute-heavy narrow maps.
 

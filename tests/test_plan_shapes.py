@@ -116,12 +116,17 @@ def test_gap_fill_joins_are_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_sessionize_single_shuffle(spark):
+def test_sessionize_single_shuffle(spark, monkeypatch):
     """Both windows and the final aggregate ride ONE user_id hash
     partitioning: lag-window partitioning (user_id) satisfies the
-    grouping distribution of (user_id, session_no)."""
+    grouping distribution of (user_id, session_no). Since r13 the
+    DEFAULT plan reads the bucketed events layout, where even that
+    one exchange disappears — the write-time bucketing IS the
+    user_id partitioning; the flat arm (knob off) keeps the original
+    single-shuffle contract."""
     from bigdataprojectspring16_spark.operators import analytics
 
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_EVENTS", "0")
     plan = _physical(analytics.sessionize_gap_batch(spark, SF_DIR))
     # Bound above AND anchor below (ADVICE r3 + r4): the bad shapes
     # are a SECOND exchange (one per window / one for the aggregate)
@@ -130,6 +135,13 @@ def test_sessionize_single_shuffle(spark):
     # partitioning is semantically required, so its key must appear.
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "hashpartitioning(user_id" in plan
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_EVENTS", "1")
+    plan = _physical(analytics.sessionize_gap_batch(spark, SF_DIR))
+    # Bucketed default: zero exchanges — the scan itself provides the
+    # user_id clustering (tests/test_bucketing.py pins rows-equal).
+    assert "Exchange hashpartitioning" not in plan
+    assert "Bucketed: true" in plan
 
 
 def test_latest_by_key_single_shuffle(spark):

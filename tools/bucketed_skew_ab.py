@@ -1,24 +1,24 @@
 #!/usr/bin/env python
-"""Bucketed-events amortization receipt (VERDICT r11 #7).
+"""Bucketed-events skew-family A/B on the DECLARED plans (r13).
 
-The orderkey receipt (tools/bucketed_tpch_ab.py, 132->98 exchanges)
-proved the write-once/shuffle-never lever on the TPC-H facts; this
-tool extends it to the SKEW family — the place a 100 TB deployment
-feels bucketing most, because the events⋈customer join funnels the
-whole event stream through the hot 10% of customer keys and every
-sessionization/funnel window re-shuffles events on user_id.
+r12 proved the lever with a load_table-rebinding harness
+(tools/receipts/bucketed_skew_ab_r12.txt: 50->18 exchanges, rows
+equal 8/8) but no declared key consumed the layout. r13 wired it in:
+the 8 skew-family keys route events/customer through
+``tables.load_skew_table``, which consults the
+``SPARK_GRAFT_BUCKETED_EVENTS`` knob (default ON). This tool now A/Bs
+the PRODUCTION code path by flipping that knob per arm — the flat arm
+is exactly what a user gets with the knob off, the bucketed arm is
+the shipped default.
 
-Arms per key: flat parquet vs ``ensure_bucketed_events`` (events
-bucketed+sorted on (user_id, ts), customer on c_custkey, both 8
-buckets), by rebinding the operator modules' ``load_table`` so only
-events/customer resolve to the bucketed catalog tables. Receipts
-executed-plan Exchange counts (AQE final), walls, and asserts ROWS
-EQUAL between arms for every key.
+Receipts executed-plan Exchange counts (AQE final), walls, and
+asserts ROWS EQUAL between arms for every key.
 
 Run:  python tools/bucketed_skew_ab.py [sf_dir] \
-          > tools/receipts/bucketed_skew_ab_r12.txt 2>&1
+          > tools/receipts/bucketed_skew_declared_r13.txt 2>&1
 """
 
+import os
 import re
 import sys
 import time
@@ -26,16 +26,11 @@ import time
 sys.path.insert(0, ".")
 
 from bigdataprojectspring16_spark import QUERIES, get_session  # noqa: E402
-from bigdataprojectspring16_spark import tables as tables_mod  # noqa: E402
-from bigdataprojectspring16_spark.operators import (  # noqa: E402
-    analytics,
-    joins,
-)
 from bigdataprojectspring16_spark.sources.sinks import (  # noqa: E402
     ensure_bucketed_events,
 )
-from bigdataprojectspring16_spark.streaming import (  # noqa: E402
-    batch_windows,
+from bigdataprojectspring16_spark.tables import (  # noqa: E402
+    BUCKETED_EVENTS_ENV,
 )
 
 KEYS = [
@@ -49,26 +44,14 @@ KEYS = [
     "retention_cohorts",
 ]
 
-#: Modules whose `load_table` binding the bucketed arm rebinds.
-OP_MODULES = (joins, analytics, batch_windows)
-
 
 def executed_exchanges(df) -> int:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return len(re.findall(r"\bExchange ", plan))
 
 
-def run_arm(spark, sf_dir, bucketed_names):
-    real = tables_mod.load_table
-
-    def bucketed_load(spark_, sf_dir_, name):
-        if bucketed_names and name in ("events", "customer"):
-            b = bucketed_names[0] if name == "events" else bucketed_names[1]
-            return spark_.table(b)
-        return real(spark_, sf_dir_, name)
-
-    for m in OP_MODULES:
-        m.load_table = bucketed_load
+def run_arm(spark, sf_dir, bucketed: bool):
+    os.environ[BUCKETED_EVENTS_ENV] = "1" if bucketed else "0"
     try:
         out = {}
         for key in KEYS:
@@ -79,8 +62,7 @@ def run_arm(spark, sf_dir, bucketed_names):
             out[key] = (executed_exchanges(df), wall, rows)
         return out
     finally:
-        for m in OP_MODULES:
-            m.load_table = real
+        os.environ.pop(BUCKETED_EVENTS_ENV, None)
 
 
 def main() -> int:
@@ -92,9 +74,9 @@ def main() -> int:
     print(f"bucketed layout {names} ready in {time.time() - t0:.1f}s "
           f"(write-once, amortized across every run after the first)")
 
-    flat = run_arm(spark, sf_dir, None)
-    flat = run_arm(spark, sf_dir, None)  # warm arm for fair walls
-    buck = run_arm(spark, sf_dir, names)
+    flat = run_arm(spark, sf_dir, False)
+    flat = run_arm(spark, sf_dir, False)  # warm arm for fair walls
+    buck = run_arm(spark, sf_dir, True)
 
     tot_f = tot_b = 0
     mismatches = []
