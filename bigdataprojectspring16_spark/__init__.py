@@ -31,51 +31,41 @@ from .operators import tpch  # noqa: F401
 # each round's driver run is capped at 50 entries (every
 # CORRECTNESS_r0N.json contains exactly 50). Standing rotation rule
 # (ADVICE r2 discipline): keys whose code changed this round verify
-# FIRST, then the stalest-signal cohort, oldest round first.
-_DRIVER_WINDOW_PRIORITY = [
-    # r12 rotation (VERDICT r11 next-round #1): drain the r7-stale
-    # cohort entirely, then start on r8. Derived by unioning
-    # CORRECTNESS_r01..r11 key sets and keeping each key's newest
-    # round: histogram is r7:11, r8:47, r9:50, r10:49, r11:50.
-    # Window = 5 changed-code keys + all 11 r7 keys + the 34
-    # alphabetically-first of the 47 r8 keys. Left for r13: the 13
-    # remaining r8 keys (sim_pairs_threshold, stream_static_enrich,
-    # stream_tumbling, text_char_entropy, text_clean_stopwords,
-    # text_decontaminate, text_fingerprint, text_lang_stats,
-    # text_langid, text_ngram_novelty, tpch_q22_idle_customers,
-    # unpivot_metrics, window_share_of_total), then the 50-key r9
-    # cohort. (VERDICT r11 #5's text_boilerplate_ngrams barrier was
-    # measured and REJECTED — comment-only diff, plan unchanged, so
-    # it is NOT re-promoted; receipt
-    # tools/receipts/boilerplate_barrier_ab_r12.txt.)
-    # -- group 0: keys whose verify stage changed in r12 after their
-    # newest driver check (xxhash64 verify-token coding, default ON —
-    # VERDICT r11 #3; hash-equal A/B receipt
-    # tools/receipts/verify_codes_ab_r12.txt) --
+# FIRST, then any key whose last check failed, then the
+# stalest-signal cohort, oldest newest-check first.
+#
+# Since r13 the window is COMPUTED from the committed
+# CORRECTNESS_r*.json history (VERDICT r12 #8 — the manual list was a
+# once-per-round edit that r11 forgot mid-round; rotation.py derives
+# it mechanically and tests/test_rotation.py pins the result). Only
+# the changed-keys list below remains a per-round edit, because
+# "which plans changed" is the one input the history can't know.
+_CHANGED_KEYS_THIS_ROUND = [
+    # r13: the 8 skew-family keys now route events/customer through
+    # the write-once bucketed layout (tables.load_skew_table, default
+    # ON — VERDICT r12 #1; declared-plan A/B receipt
+    # tools/receipts/bucketed_skew_declared_r13.txt). Hashes are
+    # layout-invariant by contract, so these verify first.
+    "join_skew_events_customers", "sessionize_gap_batch",
+    "stream_session", "events_funnel", "events_transition_matrix",
+    "events_decayed_user_value", "events_inter_arrival_stats",
+    "retention_cohorts",
+    # r13: the candidate-tail repartition moved to doc_a alone (the
+    # sf50 8 g adjudication, VERDICT r12 #3 — see dedup.py
+    # _minhash_candidate_pairs / prefix_filter_candidates), changing
+    # every plan that rides those builders.
     "dedup_minhash_lsh", "dedup_near_jaccard", "dedup_ngram_jaccard",
     "dedup_edit_distance", "dedup_threshold_sweep",
-    # -- group 1: the 11 r7-stale keys, alphabetical --
-    "scalar_string", "set_except", "set_intersect",
-    "set_union_all", "set_union_distinct", "timeseries_gap_fill",
-    "tpch_q16_supplier_cnt", "udaf_geomean", "udf_grouped_zscore",
-    "udf_scalar_python", "udtf_surface",
-    # -- group 2: 38 of the 47 r8-stale keys, alphabetical --
-    "agg_having", "agg_weighted_percentile", "array_hof",
-    "corpus_mix_report", "dedup_dup_rate_by_source",
-    "dedup_exact_docs", "dedup_incremental_batch", "dedup_simhash",
-    "docs_chunk_overlap", "docs_fold_contamination",
-    "docs_leakage_safe_split", "docs_pack_sequences",
-    "docs_subset_containment", "embeddings_quantize_int8",
-    "join_full_outer", "join_inner_equi",
-    "join_skew_events_customers", "join_theta", "json_extract",
-    "knn_per_label_centroid", "merge_upsert_batch",
-    "orders_yoy_growth", "rollup_incremental_merge",
-    "sample_hash_mod", "sample_importance_reweight",
-    "sample_kfold_stratified", "sample_stratified",
-    "sample_temperature", "scalar_bitwise", "scalar_math",
-    "scalar_try_cast", "sim_ann_lsh", "sim_centroid_assign",
-    "sim_knn_cosine",
+    "graph_connected_components", "graph_cluster_keep_best",
+    "docs_leakage_safe_split", "multimodal_payload_near_dup",
+    "graph_pagerank_rounds",
 ]
+
+from .rotation import compute_driver_window  # noqa: E402
+
+_DRIVER_WINDOW_PRIORITY = compute_driver_window(
+    list(QUERIES), _CHANGED_KEYS_THIS_ROUND
+)
 
 
 def _prioritize(priority: list[str]) -> None:
