@@ -159,6 +159,27 @@ def contract_identical_sets(t: DataFrame, set_col: str = "toks"):
     the membership join are keyed on the digest — payload arrays
     never shuffle for the contraction itself.
     """
+    # Decade pre-shard (r13, the sf50 8 g adjudication): the width
+    # guard used to sit ABOVE the contraction (repartition(width,
+    # doc_id) on the returned reps, in the minhash bands builder) —
+    # where the physical planner ELIDES it as redundant with the
+    # membership join's own hash(doc_id, width) output partitioning.
+    # The exchange it deferred to is ENSURE_REQUIREMENTS — exactly
+    # the origin AQE may coalesce — so at the decades the expensive
+    # downstream maps (150x explode → 16 md5 minima) ran at the
+    # byte-coalesced width (~32-108 tasks at sf50) with
+    # data-proportional per-task state: the borderline allocations
+    # behind r12's sf50 8 g UNABLE_TO_ACQUIRE_MEMORY (receipts
+    # tools/receipts/sf50_8g_probe_r13.txt). Repartitioning the
+    # SCAN-DERIVED frame — whose partitioning is unknown, so the
+    # exchange survives as non-coalescable REPARTITION_BY_NUM — puts
+    # the width guard UNDER the membership join: the join, the reps
+    # frame, and every downstream doc_id-clustered stage then ride
+    # the pinned width for real. Fixture scale is untouched (the
+    # decade gate), and tests/test_scale_paths.py pins the guard's
+    # presence in a forced-decade plan.
+    if decade_regime(t.sparkSession):
+        t = t.repartition(pinned_stage_width(t.sparkSession), "doc_id")
     # NARROW digest frame: the arrays never enter the contraction
     # stages (r11, the sf100 lesson — carrying set_col through the
     # sh join put a 1-2 KB/row external sort in the same stage as
@@ -360,7 +381,14 @@ def prefix_filter_candidates(
         # is small enough for AQE to coalesce the downstream exact-
         # verify (which re-expands cost per row via array ops) onto
         # too few cores. Same scale-aware width as the posting join.
-        .repartition(width, "doc_a", "doc_b")
+        # Pinned on doc_a ALONE (r13): every caller's verify starts
+        # with a join on doc_a, and a (doc_a, doc_b) pin does not
+        # satisfy that clustering — it was re-exchanged on doc_a by
+        # an AQE-managed ENSURE_REQUIREMENTS shuffle sized off the
+        # thin pre-expansion input (the sf50 8 g borderline; see
+        # _minhash_candidate_pairs). doc_a skew is bounded by the
+        # identical-set contraction upstream.
+        .repartition(width, "doc_a")
     )
 
 
@@ -452,6 +480,147 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expand_rep_pairs(rep_pairs, m)
 
 
+def _minhash_contraction(spark: SparkSession, sf_dir: str):
+    """Phase 1 of the minhash pipeline: tokenized docs contracted to
+    one representative per distinct token set. Split out (r13) so the
+    decade harness — tools/sf100_sharded_sweep.py, the disk-bounded
+    seventh scale point — can drive the pipeline phase-at-a-time with
+    parquet persistence between phase-isolated sessions;
+    ``dedup_minhash_lsh`` is exactly these ``_minhash_*`` helpers
+    chained, so the declared plan is unchanged by the split."""
+    d = load_table(spark, sf_dir, "documents")
+    full = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    return contract_identical_sets(full)
+
+
+def _minhash_bands_frame(spark: SparkSession, t: DataFrame) -> DataFrame:
+    """Phase 2: banded minhash signatures (doc_id, sz, band, sig) off
+    the contracted rep frame (16 hash fns, 4 bands of 4), barriered
+    when shared-frame materialization is on."""
+    # Decade width guard (r11, the sf100 lesson; RELOCATED r13): the
+    # 16-minima partial map holds ~600 B per distinct doc, so its
+    # stage must run at pinned width, not an AQE-coalesced one. The
+    # pre-explode repartition that used to sit here was silently
+    # ELIDED by the physical planner — the contraction join below it
+    # already advertised hash(doc_id, width), so the planner dropped
+    # the "redundant" user exchange and the stage actually ran at
+    # whatever AQE coalesced the join's ENSURE exchange to. The guard
+    # now lives INSIDE contract_identical_sets, on the scan-derived
+    # frame where REPARTITION_BY_NUM survives; `t` arrives here
+    # already pinned in the decade regime.
+    toks = t.select("doc_id", F.explode("toks").alias("term"))
+    minh = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"h{i}")
+            for i in range(16)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"h{4 * b + j}") for j in range(4)])
+                ).alias("sig"),
+            )
+            for b in range(4)
+        ]
+    )
+    sizes = t.select("doc_id", F.size("toks").alias("sz"))
+    bands = (
+        minh.join(sizes, "doc_id")
+        .select("doc_id", "sz", F.explode(band_structs).alias("bs"))
+        .select(
+            "doc_id", "sz", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+    )
+    if _materialize_shared(t):
+        # Lazy barrier: the band self-join below references this frame
+        # twice; without it each side re-runs the 16-way minhash
+        # aggregation over the exploded token stream.
+        bands = barrier(bands, storage=scale_aware_storage(spark))
+    return bands
+
+
+def _minhash_candidate_pairs(spark: SparkSession, bands: DataFrame) -> DataFrame:
+    """Phase 3: deduped candidate pairs from the banded self-join,
+    with the lossless PPJoin length prune, pinned at scale-aware
+    width for the verify fan-out."""
+    cand = (
+        bands.select(
+            F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "band", "sig"
+        )
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        # Lossless length prune (PPJoin): J >= 0.95 forces the set
+        # sizes within 5% of each other — drop impossible candidates
+        # before the expensive exact-verify join.  Cut 1e-6 below the
+        # threshold so the rounded final filter (round(J,6) >= 0.95)
+        # can never admit a pair this prune dropped.
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_b") >= (0.95 - 1e-6) * F.col("sz_a"))
+            & (F.col("sz_a") >= (0.95 - 1e-6) * F.col("sz_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    # ONE pinned exchange closes candidate generation (r13, the sf50
+    # 8 g adjudication). The old tail was distinct() → repartition
+    # (doc_a, doc_b): the dedup agg exchanged on (doc_a, doc_b), and
+    # because hash(doc_a, doc_b) does NOT satisfy the verify join's
+    # doc_a clustering, EnsureRequirements re-exchanged the stream on
+    # doc_a — an AQE-managed shuffle sized off the THIN pre-expansion
+    # input (67 tasks for a 40 GB-output stage at sf50, 2.3 GB peak
+    # task memory — the borderline allocation behind r12's
+    # UNABLE_TO_ACQUIRE_MEMORY; tools/receipts/sf50_8g_probe_r13.txt).
+    # Repartitioning on doc_a BEFORE the dedup makes hash(doc_a)
+    # satisfy BOTH the (doc_a, doc_b) dedup distribution (equal pairs
+    # share doc_a) and the verify join's clustering, so the dedup agg
+    # and the expanding exact-verify all ride this one user-pinned,
+    # scale-aware-width exchange — AQE never sizes the expansion, and
+    # the whole tail is one shuffle shorter at every scale. doc_a
+    # skew is bounded by the identical-set contraction upstream: a
+    # viral duplicate cluster collapses to ONE representative before
+    # pairing.
+    return cand.repartition(
+        pinned_stage_width(spark), "doc_a"
+    ).dropDuplicates(["doc_a", "doc_b"])
+
+
+def _minhash_verify_pairs(t: DataFrame, cand: DataFrame) -> DataFrame:
+    """Phase 4: exact token-set Jaccard on the candidates, coded
+    map-side (the xxhash64 verify knob), threshold 0.95."""
+    # Verify sides carry xxhash64 codes instead of token strings
+    # (default ON; the knob's docstring has the measured receipts) —
+    # the 2-4x verify-shuffle cut that brings the sf30 sweep inside
+    # local scratch (SCALING.md §SF100; on-vs-off equality pinned in
+    # tests/test_scale_paths.py).
+    ta = coded_verify_side(t, "toks", "toks_a").withColumnRenamed(
+        "doc_id", "doc_a"
+    )
+    tb = coded_verify_side(t, "toks", "toks_b").withColumnRenamed(
+        "doc_id", "doc_b"
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.95)
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     oracle="""
@@ -522,106 +691,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     this halves the verify load (1.85 M → 0.93 M candidate pairs)
     and emits 35.6 k result pairs without touching a token array.
     """
-    d = load_table(spark, sf_dir, "documents")
-    full = d.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
-    )
-    t, m = contract_identical_sets(full)
-    # Decade regime (r11, the sf100 lesson): the 16-minima partial
-    # map holds ~600 B per distinct doc (16 md5-string minima), and
-    # the barriered rep frame re-enters at its AQE-coalesced width —
-    # at sf100 that is ~170k docs x 600 B per task x 32 tasks, a
-    # plain heap OOM at the default 8 g. One NARROW repartition of
-    # the compact token-ARRAY rows (pre-explode — array rows, never
-    # the 150x exploded stream) to pinned width bounds the per-task
-    # map at |docs|/width while keeping the per-doc map-side combine.
-    width = pinned_stage_width(spark)
-    tt = t.repartition(width, "doc_id") if decade_regime(spark) else t
-    toks = tt.select("doc_id", F.explode("toks").alias("term"))
-    minh = toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"h{i}")
-            for i in range(16)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(*[F.col(f"h{4 * b + j}") for j in range(4)])
-                ).alias("sig"),
-            )
-            for b in range(4)
-        ]
-    )
-    sizes = t.select("doc_id", F.size("toks").alias("sz"))
-    bands = (
-        minh.join(sizes, "doc_id")
-        .select("doc_id", "sz", F.explode(band_structs).alias("bs"))
-        .select(
-            "doc_id", "sz", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-        )
-    )
-    if _materialize_shared(t):
-        # Lazy barrier: the band self-join below references this frame
-        # twice; without it each side re-runs the 16-way minhash
-        # aggregation over the exploded token stream.
-        bands = barrier(bands, storage=scale_aware_storage(spark))
-    cand = (
-        bands.select(
-            F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "band", "sig"
-        )
-        .join(
-            bands.select(
-                F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "band", "sig"
-            ),
-            ["band", "sig"],
-        )
-        # Lossless length prune (PPJoin): J >= 0.95 forces the set
-        # sizes within 5% of each other — drop impossible candidates
-        # before the expensive exact-verify join.  Cut 1e-6 below the
-        # threshold so the rounded final filter (round(J,6) >= 0.95)
-        # can never admit a pair this prune dropped.
-        .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("sz_b") >= (0.95 - 1e-6) * F.col("sz_a"))
-            & (F.col("sz_a") >= (0.95 - 1e-6) * F.col("sz_b"))
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # The candidate count EXPANDS ~1000x past the tiny per-doc band
-    # table, but AQE sizes downstream stages off the small minhash
-    # map output — pin the verify stage's parallelism explicitly (a
-    # user repartition is exempt from AQE coalescing) so the exact-
-    # Jaccard re-check fans out instead of running near-serially.
-    cand = cand.repartition(
-        pinned_stage_width(spark), "doc_a", "doc_b"
-    )
-    # Verify sides carry xxhash64 codes instead of token strings
-    # (default ON; the knob's docstring has the measured receipts) —
-    # the 2-4x verify-shuffle cut that brings the sf30 sweep inside
-    # local scratch (SCALING.md §SF100; on-vs-off equality pinned in
-    # tests/test_scale_paths.py).
-    ta = coded_verify_side(t, "toks", "toks_a").withColumnRenamed(
-        "doc_id", "doc_a"
-    )
-    tb = coded_verify_side(t, "toks", "toks_b").withColumnRenamed(
-        "doc_id", "doc_b"
-    )
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
-    rep_pairs = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= 0.95)
-    )
+    t, m = _minhash_contraction(spark, sf_dir)
+    bands = _minhash_bands_frame(spark, t)
+    cand = _minhash_candidate_pairs(spark, bands)
+    rep_pairs = _minhash_verify_pairs(t, cand)
     return expand_rep_pairs(rep_pairs, m)
 
 

@@ -443,3 +443,53 @@ def test_verify_token_codes_knob_semantics(spark):
     with knob(spark, dedup.VERIFY_TOKEN_CODES_CONF, "bogus"):
         with pytest.raises(ValueError, match="verifyTokenCodes"):
             dedup.verify_token_codes(spark)
+
+
+def test_decade_width_guard_survives_the_optimizer(spark):
+    """r13 (the sf50 8 g adjudication): the decade pre-shard must
+    appear in the PHYSICAL plan as a REPARTITION_BY_NUM exchange —
+    the non-coalescable origin. Its previous placement (above the
+    contraction join, which already advertised the same hash
+    partitioning) was silently elided by the planner, deferring to an
+    AQE-coalescable ENSURE_REQUIREMENTS exchange, so the 150x-explode
+    16-minima stage ran at byte-coalesced width with data-
+    proportional per-task state. Forced-decade plan at fixture data:
+    the guard must survive; fixture-width plan: it must be absent
+    (bit-identical plans below the decade gate)."""
+    import re
+
+    import bigdataprojectspring16_spark.session as S
+    from bigdataprojectspring16_spark import QUERIES
+
+    def doc_id_rbn(plan: str) -> int:
+        return len(
+            re.findall(
+                r"hashpartitioning\(doc_id#\d+L?, \d+\), REPARTITION_BY_NUM",
+                plan,
+            )
+        )
+
+    key = S._SHUFFLE_PARTITIONS_KEY
+    orig = spark.conf.get(key)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        spark.conf.set(key, str(64 * par))  # force the decade regime
+        plan = (
+            QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert doc_id_rbn(plan) > 0, (
+            "decade width guard elided from the physical plan"
+        )
+    finally:
+        spark.conf.set(key, orig)
+    plan = (
+        QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # The verify-tail doc_a pin is scale-independent (exactly one
+    # RBN); the doc_id decade guard must be absent at fixture width.
+    assert doc_id_rbn(plan) == 0, (
+        "fixture-scale plan must not carry the decade repartition"
+    )
+    assert len(re.findall(r"REPARTITION_BY_NUM", plan)) == 1
