@@ -48,6 +48,32 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def pin_state_store_width(spark: SparkSession, width: int = 128) -> int:
+    """Pin ``spark.sql.shuffle.partitions`` before starting stateful
+    streaming queries, and return the width set.
+
+    Streaming state partitioning is FROZEN at the first micro-batch
+    for the life of the checkpoint, and every state partition is its
+    own store instance — with RocksDB, its own files and background
+    maintenance subprocesses. The batch-side byte autosizer
+    (``tables.autosize_shuffle_partitions``, 256 KB/partition) is the
+    wrong policy for that: state width must be a deploy-time constant
+    sized to the cluster (executors x cores), never to input bytes.
+    Measured failure mode (r13 streaming decade, 50M events): the
+    autosizer picked ~3.2k partitions and the replay died inside
+    RocksDB checkpoint commits with ``error=24, Too many open files``
+    against a 20k fd ulimit — receipt
+    ``tools/receipts/streaming_sf50_r13.txt``. At the pinned default,
+    50M rows of session state is ~390k rows/partition, far inside a
+    single store's comfort, with a few hundred fds total.
+
+    Call this AFTER batch-side loads (their autosizing is fine and
+    already applied) and BEFORE ``writeStream.start()``.
+    """
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    return width
+
+
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source event stream: each parquet file is a micro-batch."""
     return (

@@ -366,3 +366,19 @@ def test_stream_stream_interval_join_buffers_both_sides(spark):
         shutil.rmtree(click_src, ignore_errors=True)
         shutil.rmtree(buy_src, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_pin_state_store_width_sets_and_restores(spark):
+    """State width is a deploy-time constant, not byte-autosized
+    (streams.pin_state_store_width; the r13 sf50 replay died on fd
+    exhaustion when ~3.2k autosized partitions each opened a RocksDB
+    instance — tools/receipts/streaming_sf50_r13.txt)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert streams.pin_state_store_width(spark, 64) == 64
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "64"
+        # Default width is the documented deploy-time constant.
+        assert streams.pin_state_store_width(spark) == 128
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "128"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

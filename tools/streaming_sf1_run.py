@@ -189,19 +189,12 @@ def main() -> int:
     )
     n_ev = ev.count()
     print(f"events: {n_ev} rows")
-    # Pin the state-store width. Streaming state partitioning is fixed
-    # at the FIRST micro-batch for the life of the checkpoint, and each
-    # partition is its own RocksDB instance (files, background 'rm'/
-    # 'chmod' subprocesses) — the batch-side byte autosizer
-    # (256 KB/partition) is exactly wrong for it: at sf50 it picked
-    # ~3.2k partitions and blew the 20k fd ulimit inside
-    # RocksDB checkpoint commits (error=24, Too many open files).
-    # On a real cluster this is a deploy-time constant sized to
-    # executors x cores, not to input bytes; 128 here keeps
-    # ~50M-row decade state at ~390k rows/partition — far inside
-    # RocksDB's comfort — with a few hundred fds total.
-    width = int(os.environ.get("STREAMING_STATE_PARTITIONS", "128"))
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    # State width is a deploy-time constant, never byte-autosized —
+    # see streams.pin_state_store_width's docstring for the measured
+    # sf50 fd-exhaustion failure that taught this.
+    width = streams.pin_state_store_width(
+        spark, int(os.environ.get("STREAMING_STATE_PARTITIONS", "128"))
+    )
     print(f"state-store width pinned: {width} shuffle partitions")
     status = 0
     clicks = ev.where(F.col("event_type") == "click")
