@@ -81,6 +81,14 @@ def _materialize_shared(df):
 VERIFY_TOKEN_CODES = "on"
 VERIFY_TOKEN_CODES_CONF = "spark.bigdataprojectspring16.verifyTokenCodes"
 
+#: The near-dup Jaccard threshold every pairwise key verifies at.
+#: Code sites import this; the ORACLE SQL strings and docstrings
+#: deliberately repeat the literal 0.95 — an oracle that read its
+#: threshold from the implementation would no longer be independent
+#: truth (ADVICE r13 noted the drift hazard of the tools-side copy;
+#: tools/sf100_sharded_sweep.py imports this constant now).
+NEAR_DUP_JACCARD = 0.95
+
 
 def verify_token_codes(spark: SparkSession) -> bool:
     v = str(
@@ -462,7 +470,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # postings, df agg, prefix self-join and exact-verify all shuffle
     # 8-byte codes; recall 1.0 holds under any global token order.
     t = coded_sets(t, "toks")
-    cand = prefix_filter_candidates(t, 0.95)
+    cand = prefix_filter_candidates(t, NEAR_DUP_JACCARD)
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
@@ -475,7 +483,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= 0.95)
+        .where(F.col("jaccard") >= NEAR_DUP_JACCARD)
     )
     return expand_rep_pairs(rep_pairs, m)
 
@@ -565,8 +573,8 @@ def _minhash_candidate_pairs(spark: SparkSession, bands: DataFrame) -> DataFrame
         # can never admit a pair this prune dropped.
         .where(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("sz_b") >= (0.95 - 1e-6) * F.col("sz_a"))
-            & (F.col("sz_a") >= (0.95 - 1e-6) * F.col("sz_b"))
+            & (F.col("sz_b") >= (NEAR_DUP_JACCARD - 1e-6) * F.col("sz_a"))
+            & (F.col("sz_a") >= (NEAR_DUP_JACCARD - 1e-6) * F.col("sz_b"))
         )
         .select("doc_a", "doc_b")
     )
@@ -617,7 +625,7 @@ def _minhash_verify_pairs(t: DataFrame, cand: DataFrame) -> DataFrame:
             "doc_b",
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= 0.95)
+        .where(F.col("jaccard") >= NEAR_DUP_JACCARD)
     )
 
 
@@ -980,7 +988,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
-    threshold: float = 0.95,
+    threshold: float = NEAR_DUP_JACCARD,
     num_hash_tables: int = 32,
 ) -> DataFrame:
     """Scale path: MinHashLSH approximate Jaccard-similarity join.

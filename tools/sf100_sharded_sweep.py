@@ -94,6 +94,8 @@ def phase_verify(shard: int) -> None:
     """Exact coded Jaccard on one disjoint pair shard."""
     from pyspark.sql import functions as F
 
+    from bigdataprojectspring16_spark.llmops.dedup import NEAR_DUP_JACCARD
+
     spark = _session(f"sf100-shard-verify-{shard}")
     cand = spark.read.parquet(f"{SCRATCH}/cand").where(
         F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(NSHARDS)) == shard
@@ -112,7 +114,7 @@ def phase_verify(shard: int) -> None:
             "doc_a", "doc_b",
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= 0.95)
+        .where(F.col("jaccard") >= NEAR_DUP_JACCARD)
     )
     verified.write.mode("overwrite").parquet(f"{SCRATCH}/verified_{shard}")
     n = spark.read.parquet(f"{SCRATCH}/verified_{shard}").count()
