@@ -37,16 +37,7 @@ COPIES = int(os.environ.get("SF1_COPIES", "10"))
 #: Key stride per remapped column: a power of ten above the sf0.1 max
 #: key, so copy ranges cannot collide and remapped keys stay small
 #: (max ~1e7 — far inside every engine-portable hash bound).
-STRIDE = {
-    "custkey": 100_000,   # max c_custkey 15,000
-    "suppkey": 10_000,    # max s_suppkey 1,000
-    "partkey": 100_000,   # max p_partkey 20,000
-    "orderkey": 1_000_000,  # max o_orderkey <= 600,000
-    "event_id": 1_000_000,  # max event_id <= 100,000 (verified below)
-    "user_id": 100_000,
-    "doc_id": 10_000,     # max doc_id 4,999
-    "vec_id": 10_000,     # max vec_id 1,999
-}
+from strides import STRIDE  # noqa: E402 — shared copy-stride table
 
 
 def main() -> None:

@@ -43,16 +43,7 @@ FORCE = os.environ.get("FORCE", "") == "1"
 #: copies the max remapped key is ~100x stride — still far inside the
 #: engine-portable hash bound, and knuth_hash reduces mod 100003
 #: before any multiply anyway).
-STRIDE = {
-    "custkey": 100_000,
-    "suppkey": 10_000,
-    "partkey": 100_000,
-    "orderkey": 1_000_000,
-    "event_id": 1_000_000,
-    "user_id": 100_000,
-    "doc_id": 10_000,
-    "vec_id": 10_000,
-}
+from strides import STRIDE  # noqa: E402 — shared copy-stride table
 
 
 def main() -> None:

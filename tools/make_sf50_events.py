@@ -31,11 +31,12 @@ OUT = os.environ.get("SF50_OUT", os.path.join(REPO, ".bench_sf50"))
 COPIES = int(os.environ.get("SF50_COPIES", "500"))
 FORCE = os.environ.get("FORCE", "") == "1"
 
-# Strides from tools/make_sf1.py; at 500 copies the max remapped key
-# is 500x stride = 5e8 (event_id) / 5e7 (user_id) — int64-safe and
-# inside the engine-portable hash bound.
-STRIDE_EVENT = 1_000_000
-STRIDE_USER = 100_000
+# At 500 copies the max remapped key is 500x stride = 5e8 (event_id)
+# / 5e7 (user_id) — int64-safe and inside the engine-portable bound.
+from strides import STRIDE  # noqa: E402 — shared copy-stride table
+
+STRIDE_EVENT = STRIDE["event_id"]
+STRIDE_USER = STRIDE["user_id"]
 
 
 def main() -> None:
