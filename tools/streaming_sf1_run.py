@@ -74,6 +74,18 @@ def hashed(rows):
     return h.hexdigest()[:16]
 
 
+def rows_of(df):
+    """Collect as plain tuples via Arrow (``toPandas``) instead of the
+    py4j row path: a 47M-row collect through py4j pickling holds the
+    whole result as JVM objects first and is the second half of the
+    decade-scale driver-heap wall (the first was the memory sink —
+    see run_pipeline). ``canon`` stringification makes numpy/pandas
+    scalars hash- and compare-identical to the Row path, so verdicts
+    are unchanged."""
+    pdf = df.toPandas()
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
 def write_chunks(df, out_dir, n):
     """Time-ordered slices, one parquet file each (one micro-batch)."""
     # Tool-only global sort: the replay needs a total time order to
@@ -128,28 +140,48 @@ def run_pipeline(spark, events, tag, build, output_mode, sources):
         os.makedirs(feeds[s])
         chunk_root = os.path.join(tmp, f"chunks_{s}")
         chunked[s] = write_chunks(events[s], chunk_root, N_BATCHES)
-    name = f"{tag}_{uuid.uuid4().hex[:8]}"
     chk = os.path.join(tmp, "chk")
+    # Accumulate the stream's output in PARQUET via foreachBatch, not
+    # the memory sink: the memory sink holds every emitted row as JVM
+    # driver-heap objects for the life of the query — at the sf50
+    # decade (47M session rows) that OOMs a 16 g driver mid-replay.
+    # foreachBatch append has IDENTICAL accumulate semantics for both
+    # modes used here (append passes newly-finalized rows once;
+    # update passes changed rows per batch, which the memory sink
+    # also appends — it never updates in place), with the accumulation
+    # on disk. uuid keeps reruns from colliding in /tmp.
+    out = os.path.join(tmp, f"out_{uuid.uuid4().hex[:8]}")
+
+    def _append(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out)
+
     streams_in = [
         streams.read_event_stream(spark, feeds[s]) for s in sources
     ]
     q = (
         build(*streams_in)
-        .writeStream.format("memory")
-        .queryName(name)
+        .writeStream.foreachBatch(_append)
         .outputMode(output_mode)
         .option("checkpointLocation", chk)
         .start()
     )
     t0 = time.time()
     batches = 0
+
+    def _accumulated():
+        try:
+            return spark.read.parquet(out)
+        except Exception:  # no batch has written yet
+            return None
+
     try:
         for i in range(N_BATCHES):
             for s in sources:
                 feed_file(spark, chunked[s][i], feeds[s], f"b{i:02d}")
             q.processAllAvailable()
             batches += 1
-            n_so_far = spark.table(name).count()
+            acc = _accumulated()
+            n_so_far = acc.count() if acc is not None else 0
             print(
                 f"  [{tag}] batch {i + 1}/{N_BATCHES}: "
                 f"cumulative output rows = {n_so_far}",
@@ -166,10 +198,11 @@ def run_pipeline(spark, events, tag, build, output_mode, sources):
             )
         q.processAllAvailable()
         batches += 1
+        acc = _accumulated()
         rows = [
-            tuple(r)
-            for r in spark.table(name).collect()
-            if SENTINEL_USER not in tuple(r) and SENTINEL_TS not in tuple(r)
+            t
+            for t in (rows_of(acc) if acc is not None else [])
+            if SENTINEL_USER not in t and SENTINEL_TS not in t
         ]
         return rows, batches, time.time() - t0
     finally:
@@ -192,6 +225,7 @@ def main() -> int:
     # State width is a deploy-time constant, never byte-autosized —
     # see streams.pin_state_store_width's docstring for the measured
     # sf50 fd-exhaustion failure that taught this.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     width = streams.pin_state_store_width(
         spark, int(os.environ.get("STREAMING_STATE_PARTITIONS", "128"))
     )
@@ -214,22 +248,19 @@ def main() -> int:
             spark, {"ev": ev}, "session", streams.session_counts,
             "append", ["ev"],
         )
-        batch = [
-            tuple(r)
-            for r in (
-                ev.groupBy(
-                    F.session_window("ts", "30 minutes").alias("sw"),
-                    "user_id",
-                )
-                .agg(F.count(F.lit(1)).alias("n_events"))
-                .select(
-                    "user_id",
-                    F.col("sw.start").alias("session_start"),
-                    F.col("sw.end").alias("session_end"),
-                    "n_events",
-                )
-            ).collect()
-        ]
+        batch = rows_of(
+            ev.groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+            )
+        )
         return _report("session_windows", streamed, nb, wall, batch)
 
     # ---- 2. stream-stream interval join -------------------------
@@ -249,9 +280,8 @@ def main() -> int:
             F.col("event_id").alias("purchase_id"),
             F.col("ts").alias("purchase_ts"),
         )
-        batch = [
-            tuple(r)
-            for r in p.join(
+        batch = rows_of(
+            p.join(
                 c,
                 (p["user_id"] == c["c_user"])
                 & (c["click_ts"] <= p["purchase_ts"])
@@ -264,8 +294,7 @@ def main() -> int:
                 "user_id", "purchase_id", "purchase_ts",
                 "click_id", "click_ts",
             )
-            .collect()
-        ]
+        )
         return _report("interval_join", streamed, nb, wall, batch)
 
     # ---- 3. stateful counter (applyInPandasWithState) -----------
@@ -274,17 +303,16 @@ def main() -> int:
             spark, {"ev": ev}, "counter",
             streams.stateful_purchase_counter, "update", ["ev"],
         )
-        batch = [
-            tuple(r)
-            for r in buys.select(
+        batch = rows_of(
+            buys.select(
                 "user_id", "event_id", "ts",
                 F.row_number()
                 .over(
                     Window.partitionBy("user_id").orderBy("ts", "event_id")
                 )
                 .alias("purchase_seq"),
-            ).collect()
-        ]
+            )
+        )
         return _report("stateful_counter", streamed, nb, wall, batch)
 
     # STREAMING_PIPELINES orders (and optionally subsets) the runs —
