@@ -75,15 +75,86 @@ def hashed(rows):
 
 
 def rows_of(df):
-    """Collect as plain tuples via Arrow (``toPandas``) instead of the
-    py4j row path: a 47M-row collect through py4j pickling holds the
-    whole result as JVM objects first and is the second half of the
-    decade-scale driver-heap wall (the first was the memory sink —
-    see run_pipeline). ``canon`` stringification makes numpy/pandas
-    scalars hash- and compare-identical to the Row path, so verdicts
-    are unchanged."""
-    pdf = df.toPandas()
-    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    """Collect via Arrow (``toPandas``) instead of the py4j row path:
+    a 47M-row collect through py4j pickling holds the whole result as
+    JVM objects first and is the second half of the decade-scale
+    driver-heap wall (the first was the memory sink — see
+    run_pipeline). Returns the pandas frame; comparison and hashing
+    are VECTORIZED (``canon_sorted``) — a pure-python sort of 47M
+    tuples costs ~an hour, the numpy sort seconds — and produce the
+    exact byte stream ``hashed`` produced over Row tuples, verified
+    by bit-equal sf0.1 hashes across the refactor."""
+    return df.toPandas()
+
+
+def canon_sorted(pdf):
+    """Canonicalize a collected frame to a SORTED numpy array of
+    '|'-joined row strings — the same per-value formatting ``canon``
+    applied to Row tuples (floats %.6g, everything else str())."""
+    import numpy as np
+    import pandas.api.types as pt
+
+    if len(pdf) == 0:
+        return np.array([], dtype=object)
+    cols = []
+    for c in pdf.columns:
+        s = pdf[c]
+        if pt.is_float_dtype(s):
+            cols.append(s.map(lambda v: f"{v:.6g}"))
+        elif pt.is_datetime64_any_dtype(s):
+            # NOT astype(str): pandas renders datetime64 with a
+            # COLUMN-wide format (date-only if every value is
+            # midnight; padded microseconds if any value has them) —
+            # per-value str(Timestamp) matches str(datetime) exactly.
+            cols.append(s.map(str))
+        else:
+            cols.append(s.astype(str))
+    if len(cols) == 1:
+        out = cols[0].to_numpy(dtype=object)
+        out.sort()
+        return out
+    # Sort by a \x01-joined key — string order on it equals the old
+    # column-tuple order (\x01 sorts below every character the
+    # canonical values contain, so '3'<'33' column-wise stays
+    # '3\x01…'<'33…'; '|'-joined strings would invert such prefixes;
+    # NUL would be the natural choice but pandas str.cat silently
+    # DROPS a NUL separator) — then emit the '|'-joined form
+    # ``hashed`` hashes.
+    import numpy as np
+
+    key = cols[0].str.cat(cols[1:], sep="\x01").to_numpy(dtype=object)
+    out = cols[0].str.cat(cols[1:], sep="|").to_numpy(dtype=object)
+    return out[np.argsort(key)]
+
+
+def hashed_arr(arr):
+    """sha256 over the sorted canonical rows — byte-identical stream
+    to ``hashed`` (per row: row bytes then a newline), chunked."""
+    h = hashlib.sha256()
+    n = len(arr)
+    for lo in range(0, n, 1_000_000):
+        chunk = "\n".join(arr[lo:lo + 1_000_000])
+        h.update(chunk.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def drop_sentinels(pdf):
+    """Vectorized port of the tuple filter: drop rows where any
+    NUMERIC column equals SENTINEL_USER or any DATETIME column equals
+    SENTINEL_TS (string columns never matched either sentinel under
+    python ==, so they are skipped)."""
+    import pandas as pd
+    import pandas.api.types as pt
+
+    mask = pd.Series(False, index=pdf.index)
+    for c in pdf.columns:
+        s = pdf[c]
+        if pt.is_datetime64_any_dtype(s):
+            mask |= s == pd.Timestamp(SENTINEL_TS)
+        elif pt.is_numeric_dtype(s):
+            mask |= s == SENTINEL_USER
+    return pdf[~mask]
 
 
 def write_chunks(df, out_dir, n):
@@ -199,18 +270,55 @@ def run_pipeline(spark, events, tag, build, output_mode, sources):
         q.processAllAvailable()
         batches += 1
         acc = _accumulated()
-        rows = [
-            t
-            for t in (rows_of(acc) if acc is not None else [])
-            if SENTINEL_USER not in t and SENTINEL_TS not in t
-        ]
-        return rows, batches, time.time() - t0
+        if acc is None:
+            import pandas as pd
+
+            pdf = pd.DataFrame()
+        else:
+            pdf = drop_sentinels(rows_of(acc))
+        return pdf, batches, time.time() - t0
     finally:
         q.stop()
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _canon_selfcheck() -> None:
+    """The vectorized canonical path must reproduce the original
+    Row-tuple ``hashed`` byte-for-byte on a mixed-type sample —
+    ``hashed``/``canon`` stay as the reference implementation this
+    asserts against (pandas datetime/float rendering has column-wide
+    surprises; see canon_sorted)."""
+    import pandas as pd
+
+    sample = [
+        (1, "a", dt.datetime(2021, 1, 1, 7, 3), 1.25),
+        (-3, "b|c", dt.datetime(2021, 1, 1), 0.1234567),
+        (7, "z", dt.datetime(2021, 1, 1, 7, 3, 0, 500), 2.0),
+        # prefix-colliding first column: tuple order ('3'<'33') must
+        # survive the join (a '|'-joined sort would invert it)
+        (3, "a", dt.datetime(2021, 1, 1), 1.0),
+        (33, "a", dt.datetime(2021, 1, 1), 1.0),
+    ]
+    pdf = pd.DataFrame(sample, columns=["i", "s", "t", "f"])
+    pdf["t"] = pd.to_datetime(pdf["t"])
+    assert hashed(sample) == hashed_arr(canon_sorted(pdf)), (
+        "vectorized canonicalization drifted from the Row-path form"
+    )
+
+
 def main() -> int:
+    _canon_selfcheck()
+    # Tool-local startup conf (never part of the product confs): the
+    # Arrow collect of a 47M-row accumulated output exceeds the 1 GiB
+    # spark.driver.maxResultSize default — a guard against accidental
+    # collects that this tool's deliberate, bounded decade collect
+    # must step over.
+    from bigdataprojectspring16_spark import session as _sess
+
+    _sess._STARTUP_CONFS = {
+        **_sess._STARTUP_CONFS,
+        "spark.driver.maxResultSize": "8g",
+    }
     spark = get_session("streaming_sf1")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB
@@ -235,10 +343,13 @@ def main() -> int:
     buys = ev.where(F.col("event_type") == "purchase")
 
     def _report(name, streamed, nb, wall, batch) -> int:
-        ok = sorted(streamed) == sorted(batch)
-        print(f"{name}: streamed {len(streamed)} rows in {nb} "
-              f"batches ({wall:.1f}s), batch twin {len(batch)} rows; "
-              f"hash {hashed(streamed)} vs {hashed(batch)} -> "
+        import numpy as np
+
+        ca, cb = canon_sorted(streamed), canon_sorted(batch)
+        ok = len(ca) == len(cb) and bool(np.array_equal(ca, cb))
+        print(f"{name}: streamed {len(ca)} rows in {nb} "
+              f"batches ({wall:.1f}s), batch twin {len(cb)} rows; "
+              f"hash {hashed_arr(ca)} vs {hashed_arr(cb)} -> "
               f"{'MATCH' if ok else 'MISMATCH'}", flush=True)
         return 0 if ok else 1
 
