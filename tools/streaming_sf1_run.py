@@ -180,14 +180,30 @@ def write_chunks(df, out_dir, n):
 
 
 def feed_file(spark, chunk_dir, feed_dir, tag):
-    """Move one pre-written chunk into the live feed dir as ONE file."""
+    """Move one pre-written chunk into the live feed dir as ONE file.
+
+    The copy is staged OUTSIDE the watched directory and enters it via
+    ``os.rename``: the feed dir is listed continuously by the running
+    query (no trigger interval), and a non-atomic copy can be listed
+    at 0 bytes — a zero-length parquet reads as ZERO ROWS without
+    error, the path is marked seen, and the chunk is silently lost
+    forever. Measured: the first sf50 session replay lost exactly
+    micro-batch 3 this way (5,949,000 of the 5,953,000 missing rows;
+    every other batch's increment was the sf0.1 increment ×500 —
+    `streaming_sf50_r13.txt` MISMATCH, adjudicated in
+    OPTIMIZATION_r13.md §3.6). The race window scales with file size,
+    which is why sf0.1 never hit it. rename(2) within one filesystem
+    is atomic: the source sees the complete file or nothing.
+    """
     part = [
         f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
     ][0]
-    shutil.copy(
-        os.path.join(chunk_dir, part),
-        os.path.join(feed_dir, f"{tag}.parquet"),
+    staged = os.path.join(
+        os.path.dirname(feed_dir),
+        f".staged_{os.path.basename(feed_dir)}_{tag}.parquet",
     )
+    shutil.copy(os.path.join(chunk_dir, part), staged)
+    os.rename(staged, os.path.join(feed_dir, f"{tag}.parquet"))
 
 
 def sentinel_rows(spark):
