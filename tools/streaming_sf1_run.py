@@ -339,6 +339,20 @@ def main() -> int:
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB
     )
+    # A/B knob (§7.5 residual): the measured replay walls are commit-
+    # bound, nearly scale-flat from 100k to 50M events (219 s vs
+    # 243 s session) — per-batch RocksDB full-snapshot uploads at the
+    # pinned width, not data volume. Changelog checkpointing writes
+    # the per-batch delta instead and compacts in the background.
+    # Default OFF so existing receipts stay comparable.
+    changelog = os.environ.get("STREAMING_ROCKSDB_CHANGELOG", "0") == "1"
+    if changelog:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+    print(f"rocksdb changelog checkpointing: {'ON' if changelog else 'off'}")
     print(f"streaming sf1 decade @ {SF_DIR}, {N_BATCHES} micro-batches, "
           f"RocksDB state store")
     ev = load_table(spark, SF_DIR, "events").select(
