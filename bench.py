@@ -179,22 +179,29 @@ def main() -> None:
     # comparable against the right anchor.
     original12 = round(sum(timings[k] for k in HEADLINE[:12] if k in timings), 4)
     tpch12 = round(sum(timings[k] for k in TPCH_R5 if k in timings), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_best_of_%d" % RUNS,
-                "value": total,
-                "unit": "sec",
-                "original12_sec": original12,
-                "tpch12_sec": tpch12,
-                "queries": timings,
-                "jobs": job_counts,
-                "jobs_unstable": jobs_unstable,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_best_of_%d" % RUNS,
+            "value": total,
+            "unit": "sec",
+            "original12_sec": original12,
+            "tpch12_sec": tpch12,
+            "queries": timings,
+            "jobs": job_counts,
+            "jobs_unstable": jobs_unstable,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
-    spark.stop()
+    # Stop the JVM FIRST, then print: the JSON is guaranteed to be the
+    # final stdout line with nothing left alive to interleave after it
+    # (r14, VERDICT r13 issue 1 — BENCH_r12.json's driver record kept
+    # only a truncated tail and the whole r13 perf comparison went
+    # vacuous). A failed stop must never eat the measurement.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -590,12 +590,25 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_pairs").alias("n_pairs"))
         .where(F.col("n_pairs") > 0)
     )
-    tot = bands.agg(F.sum("n_pairs").alias("n_total"))
-    return bands.crossJoin(F.broadcast(tot)).select(
+    # Share-of-total as a GLOBAL WINDOW over the ≤4-row band frame
+    # (r14, guide §2.4): the r13 crossJoin(broadcast(tot)) referenced
+    # `bands` twice, duplicating the entire candidate+verify subtree
+    # in the plan — AQE stage reuse deduplicated the heavy stages at
+    # runtime, but the second reference still re-planned and re-ran
+    # every post-exchange tail, and the broadcast build was its own
+    # job. One unpartitioned window over 4 rows (constant-bounded by
+    # the 4 band literals) computes the same exact integer total in a
+    # single reference: bench jobs 22 -> 21, broadcast site retired,
+    # plan receipt plans/r14/dedup_threshold_sweep_{before,after}.txt.
+    from pyspark.sql import Window
+
+    return bands.select(
         "band",
         "n_pairs",
         F.round(
-            F.col("n_pairs").cast("double") / F.col("n_total"), 6
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(Window.partitionBy()),
+            6,
         ).alias("share"),
     )
 
@@ -988,27 +1001,40 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed matrix-vector product as DataFrame algebra: the
     matrix is the narrow (vec_id, dim, val) explosion of the
-    embedding column (re-evaluated per use — scan + narrow map, the
-    barrier rule says don't checkpoint it); each round broadcasts
-    the 64-row direction vector into a dim-keyed join for the
-    per-vector projections (vec-keyed two-phase agg), then a
-    vec-keyed equi-join + dim-keyed agg for the back-projection —
-    at 100 TB both joins are keyed shuffles whose width is the
-    embedding table, never |vecs|². The start vector is the exact
-    binary 1/8 on every dim; projections and loadings are quantized
-    to 6 decimals at each round boundary so the serial oracle and
-    the distributed plan walk the identical sequence (residual
-    half-boundary risk is the documented PageRank class,
-    SCALING.md §MONEY residuals). sqrt and IEEE multiply/divide are
-    correctly rounded — no libm-divergence surface (ADVICE r6 #1).
+    embedding column, hash-repartitioned on vec_id ONCE (r14, guide
+    §2.4 "two operations keyed the same way share one exchange"):
+    every round's projection aggregate AND back-projection join
+    require vec_id clustering, so all six uses across the three
+    unrolled rounds ride the same exchange (AQE's stage cache already
+    dedups identical subtrees at runtime; the explicit pin makes the
+    projection aggregate exchange-FREE as well — its input is now
+    clustered on vec_id, so the per-round partial-agg exchange is
+    elided: plans/r14/embeddings_pca_power_*.txt, bench jobs
+    21 -> 19). Each round broadcasts the 64-row
+    direction vector into a dim-keyed join for the per-vector
+    projections, then the co-partitioned equi-join + dim-keyed agg
+    for the back-projection — at 100 TB the matrix crosses the
+    network once, never once per round. The start vector is the
+    exact binary 1/8 on every dim; projections and loadings are
+    quantized to 6 decimals at each round boundary so the serial
+    oracle and the distributed plan walk the identical sequence
+    (residual half-boundary risk is the documented PageRank class,
+    SCALING.md §MONEY residuals; re-verified hash-MATCH at
+    sf0.001/0.01/0.1 after the repartition, since partial-sum
+    boundaries moved). sqrt and IEEE multiply/divide are correctly
+    rounded — no libm-divergence surface (ADVICE r6 #1).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    m = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos", "val"
-        ),
-    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    m = (
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+        .repartition("vec_id")
+    )
     v = m.select("dim").distinct().select("dim", F.lit(0.125).alias("v"))
     for _ in range(3):
         s = (

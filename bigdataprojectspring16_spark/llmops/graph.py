@@ -170,32 +170,47 @@ def _near_dup_edges(d: DataFrame, threshold: float = 0.95) -> DataFrame:
 
 
 def _near_dup_edge_parts(
-    d: DataFrame, threshold: float = 0.95
+    d: DataFrame, threshold: float = 0.95, carry: tuple[str, ...] = ()
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The near-dup graph split into its contraction parts:
-    (rep_nodes(node), rep_edges(src, dst), spokes(src=member, dst=rep)).
+    (rep_nodes(node, *carry), rep_edges(src, dst),
+    spokes(src=member, dst=rep, *carry-of-member)).
 
     Callers that only need the closure run the fixpoint over
     rep_nodes/rep_edges and extend labels across the spokes afterwards
     (:func:`components_over_docs`); callers that need the literal
     member-level edge set union the parts (:func:`_near_dup_edges`).
+
+    ``carry`` names narrow payload columns of ``d`` to thread through
+    the label pipeline (r14, guide §2.4): a consumer that needs
+    per-doc attributes AFTER labeling (keep-best's n_chars/lang, the
+    leakage split's lang) can read them off the labeled frame instead
+    of paying a join back onto ``documents`` — two exchanges per
+    consumer removed for a few bytes per spoke row. ``carry=()``
+    leaves every plan byte-identical to the r13 shape.
     """
     from .dedup import prefix_filter_candidates
 
     t = d.select(
         "doc_id",
+        *carry,
         F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("toks"),
     ).withColumn("set_key", F.sha2(F.concat_ws(" ", "toks"), 256))
     # The spoke map and rep node-set never need the token arrays —
     # build them from the 32-byte digest column only, so the label-
     # extension path (components_over_docs) re-evaluates a narrow
     # digest shuffle, never the array-carrying lineage.
-    digests = t.select("doc_id", "set_key")
-    rep_ids = digests.groupBy("set_key").agg(F.min("doc_id").alias("rep"))
+    digests = t.select("doc_id", "set_key", *carry)
+    rep_ids = digests.groupBy("set_key").agg(
+        F.min("doc_id").alias("rep"),
+        # The rep IS the group's min doc_id, so min_by(c, doc_id) is
+        # exactly that doc's attribute — same shuffle, no extra pass.
+        *[F.min_by(c, "doc_id").alias(c) for c in carry],
+    )
     spokes = (
-        digests.join(rep_ids, "set_key")
+        digests.join(rep_ids.select("set_key", "rep"), "set_key")
         .where(F.col("doc_id") != F.col("rep"))
-        .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"))
+        .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"), *carry)
     )
     # doc_id == rep alone selects exactly the representative rows: each
     # doc_id occurs once in `digests`, so doc_id determines set_key, and
@@ -216,14 +231,16 @@ def _near_dup_edge_parts(
         .where(inter.cast("double") / union >= threshold)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    rep_nodes = rep_ids.select(F.col("rep").alias("node"))
+    rep_nodes = rep_ids.select(F.col("rep").alias("node"), *carry)
     return rep_nodes, rep_edges, spokes
 
 
-def components_over_docs(d: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """(doc_id, component) for the token-Jaccard ≥ threshold closure
-    over ALL documents, with the fixpoint run on the contracted
-    representative graph only (r4).
+def components_over_docs(
+    d: DataFrame, threshold: float = 0.95, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, component, *carry) for the token-Jaccard ≥ threshold
+    closure over ALL documents, with the fixpoint run on the
+    contracted representative graph only (r4).
 
     Identical-set members attach to their rep by a single spoke edge
     and have no other edges, so component(member) = component(rep);
@@ -235,15 +252,24 @@ def components_over_docs(d: DataFrame, threshold: float = 0.95) -> DataFrame:
     as the pair pipelines: 21% smaller at sf0.1, compounding with dup
     density at 100 TB), and spoke members rejoin with ONE broadcast-
     friendly equi-join after convergence.
+
+    ``carry`` (r14): narrow ``d`` columns returned alongside each
+    doc's label so consumers skip the join back onto ``documents``
+    (see :func:`_near_dup_edge_parts`). Each doc's own attribute is
+    carried — reps through the node frame, members through their
+    spoke row — never the rep's attribute onto a member.
     """
-    rep_nodes, rep_edges, spokes = _near_dup_edge_parts(d, threshold)
+    rep_nodes, rep_edges, spokes = _near_dup_edge_parts(d, threshold, carry)
     rep_labels = connected_components(rep_nodes, rep_edges)
     member_labels = (
-        spokes.join(rep_labels, spokes["dst"] == rep_labels["node"])
-        .select(F.col("src").alias("doc_id"), "component")
+        spokes.join(
+            rep_labels.select("node", "component"),
+            spokes["dst"] == F.col("node"),
+        )
+        .select(F.col("src").alias("doc_id"), "component", *carry)
     )
     return rep_labels.select(
-        F.col("node").alias("doc_id"), "component"
+        F.col("node").alias("doc_id"), "component", *carry
     ).unionByName(member_labels)
 
 
@@ -360,21 +386,90 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return labels
 
 
+def _count_materialize(df: DataFrame) -> int:
+    """Materialize a (lazily checkpointed) frame with ONE job and
+    return its exact row count.
+
+    The count rides the materializing noop write as an ``observe``
+    metric (computed by accumulator during the same pass), where the
+    r4-r13 signature aggregate paid a partial-agg job plus a
+    single-partition final job per round. Measured (r14): 5 jobs per
+    star round -> 4, receipt ``tools/receipts/cc_jobs_r14.txt``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        df.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return int(obs.get["n"])
+
+
+def _is_star_forest(e: DataFrame) -> bool:
+    """True iff the (deduped, downward-oriented) edge set is a forest
+    of stars rooted at each component's minimum — the EXACT fixpoint
+    test for the alternating star contraction.
+
+    A small-star output always orients src > dst, so a component is a
+    finished star iff (1) no src appears twice (each member points at
+    exactly one root) and (2) no node is both a src and a dst (roots
+    have no outgoing edges). Both facts ride ONE keyed aggregate over
+    the endpoint census; since large-star and small-star preserve
+    connectivity (Kiveris et al., SoCC'14) and map stars to
+    themselves, star-shape at round k proves labels(round k) equal
+    the eventual fixpoint labels — no probabilistic signature, no
+    extra detect round.
+    """
+    ends = e.select(
+        F.col("src").alias("n"),
+        F.lit(1).alias("as_src"),
+        F.lit(0).alias("as_dst"),
+    ).unionByName(
+        e.select(
+            F.col("dst").alias("n"),
+            F.lit(0).alias("as_src"),
+            F.lit(1).alias("as_dst"),
+        )
+    )
+    violations = (
+        ends.groupBy("n")
+        .agg(
+            F.sum("as_src").alias("ns"),
+            F.sum("as_dst").alias("nd"),
+        )
+        .where(
+            (F.col("ns") > 1) | ((F.col("ns") > 0) & (F.col("nd") > 0))
+        )
+    )
+    return violations.isEmpty()
+
+
 def cc_with_rounds(
     nodes: DataFrame, edges: DataFrame
 ) -> tuple[DataFrame, int]:
     """Connected components via alternating large-star/small-star.
 
-    ``nodes``: one column ``node``. ``edges``: columns ``src``/``dst``
-    (direction irrelevant — rounds re-orient internally). Returns
-    ((node, component), rounds) where component is the minimum node id
-    in the undirected closure and rounds is the number of
-    large+small-star rounds to fixpoint — O(log n) even on chains
-    (tests/test_graph.py asserts rounds ≤ log₂(n) + 2 adversarially).
+    ``nodes``: column ``node`` (extra columns pass through to the
+    output unchanged — the label join preserves them). ``edges``:
+    columns ``src``/``dst`` (direction irrelevant — rounds re-orient
+    internally). Returns ((node, component, *extras), rounds) where
+    component is the minimum node id in the undirected closure and
+    rounds is the number of large+small-star rounds run — O(log n)
+    even on chains (tests/test_graph.py asserts rounds ≤ log₂(n) + 2
+    adversarially).
 
-    Eager: runs a handful of Spark jobs per round; the convergence
-    probe compares the (tiny, star-shaped) edge sets symmetric-
-    differentially and only ships an emptiness bit to the driver.
+    Eager: a handful of Spark jobs per round. Convergence is decided
+    by the EXACT star-forest test (:func:`_is_star_forest`) on the
+    round that PRODUCES the fixpoint, gated on row-count stability so
+    the test runs only when it can plausibly pass — one round and one
+    probabilistic-signature pass cheaper than the r4-r13 scheme
+    (sig-equality + exceptAll confirm needed a full extra round to
+    observe that nothing changed). Fixture evidence: 4 rounds instead
+    of 5, jobs 57 -> 43 on the bench key
+    (``tools/receipts/cc_jobs_r14.txt``).
     """
     lazy = conf_knob(
         edges.sparkSession, LAZY_CHECKPOINT_CONF, LAZY_CHECKPOINT
@@ -387,40 +482,33 @@ def cc_with_rounds(
         .distinct(),
         eager=not lazy,
     )
-
-    def sig(df: DataFrame):
-        # (row count, order-insensitive hash sum): one cheap narrow
-        # aggregate over the checkpointed edges.
-        return tuple(
-            df.agg(
-                F.count(F.lit(1)), F.sum(F.xxhash64("src", "dst"))
-            ).first()
-        )
-
-    prev_sig = sig(e)
+    prev_n = _count_materialize(e)
     rounds = 0
     for _ in range(MAX_ITERATIONS):
         rounds += 1
         new = barrier(_small_star(_large_star(e)), eager=not lazy)
-        # Convergence probe in two tiers: a narrow signature aggregate
-        # every round (no shuffle), and only on signature equality the
-        # exact set comparison that proves the fixpoint — so the
-        # expensive probe runs once, at convergence, not per round.
-        # Under LAZY_CHECKPOINT this aggregate is also the action that
-        # materializes the round's checkpoint (one job, not two).
-        new_sig = sig(new)
-        converged = new_sig == prev_sig and (
-            new.exceptAll(e).unionByName(e.exceptAll(new)).limit(1).count() == 0
-        )
-        e, prev_sig = new, new_sig
+        # The noop write materializes the round's checkpoint (the next
+        # round references it twice, so it must be stored first) and
+        # carries the row count as a free observe metric.
+        n_new = _count_materialize(new)
+        # Count stability is a necessary condition for star-shape
+        # being REACHED AND REPRODUCIBLE cheaply — a still-contracting
+        # round rarely lands exactly on the fixpoint count, and when
+        # it does the exact test below settles it. The test itself is
+        # exact, so a false gate pass costs one aggregate, never
+        # correctness; a gate miss costs at most the one detect round
+        # the old scheme always paid.
+        converged = n_new == prev_n and _is_star_forest(new)
+        e, prev_n = new, n_new
         if converged:
             break
     # Fixpoint is a star per component: src (member) -> dst (= root,
     # the component min). Roots and isolated nodes label themselves.
     stars = e.groupBy(F.col("src").alias("node")).agg(F.min("dst").alias("component"))
+    extras = [c for c in nodes.columns if c != "node"]
     return (
         nodes.join(stars, "node", "left").select(
-            "node", F.coalesce("component", "node").alias("component")
+            "node", F.coalesce("component", "node").alias("component"), *extras
         ),
         rounds,
     )
@@ -523,19 +611,23 @@ def graph_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster). Stages: the linear prefix-filter edge join
     (:func:`_near_dup_edges`), the O(log n)-round star-contraction
     fixpoint (see :func:`cc_with_rounds`), a ``max_by`` per component,
-    a keyed join back, one aggregate — every stage shuffle-keyed, no
-    driver-side data.
+    one aggregate — every stage shuffle-keyed, no driver-side data.
+    The scoring attributes (n_chars, lang) are CARRIED through the
+    label pipeline (r14, guide §2.4), so the r13 shape's two join-backs
+    onto ``documents`` (doc_id-keyed for the score, kept_id-keyed for
+    the survivor stats) are gone — the winner's struct already holds
+    everything the final aggregate reads. Tail exchanges 8 -> 4,
+    bench jobs 57 -> 43 with the r14 fixpoint probe
+    (``tools/receipts/cc_jobs_r14.txt``).
     """
     d = load_table(spark, sf_dir, "documents")
-    comp = components_over_docs(d, 0.95)
+    comp = components_over_docs(d, 0.95, carry=("n_chars", "lang"))
     score = F.col("n_chars") * 1000000 - F.col("doc_id")
-    keep = (
-        comp.join(d.select("doc_id", "n_chars"), "doc_id")
-        .groupBy("component")
-        .agg(F.max_by("doc_id", score).alias("kept_id"))
+    keep = comp.groupBy("component").agg(
+        F.max_by(F.struct("doc_id", "n_chars", "lang"), score).alias("kept")
     )
     return (
-        keep.join(d, keep.kept_id == d.doc_id)
+        keep.select("kept.*")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_survivors"),

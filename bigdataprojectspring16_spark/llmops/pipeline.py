@@ -922,9 +922,12 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import components_over_docs
 
     d = load_table(spark, sf_dir, "documents")
-    comp = components_over_docs(d, 0.95)
+    # lang rides the label pipeline (r14 carry, see graph module) so
+    # the doc_id-keyed join back onto documents is gone — the labeled
+    # frame already holds each doc's own lang.
+    comp = components_over_docs(d, 0.95, carry=("lang",))
     bucket = knuth_hash(F.col("component"), 100)
-    assigned = comp.join(d.select("doc_id", "lang"), "doc_id").select(
+    assigned = comp.select(
         "lang",
         F.col("component").alias("comp_id"),
         F.when(bucket < 80, "train")

@@ -284,8 +284,6 @@ BOUND_TABLE: dict[tuple[str, str, int], tuple[int, str]] = {
         1, "1-row global token total"),
     ("llmops/corpus.py", "embeddings_whiten_qa", 0): (
         128, "per-dimension stats — embedding dim is 64 by schema"),
-    ("llmops/corpus.py", "dedup_threshold_sweep", 0): (
-        1, "1-row candidate-pair total"),
     ("llmops/corpus.py", "text_perplexity_bigram", 0): (
         1, "1-row train-token total"),
     ("llmops/corpus.py", "assign", 0): (

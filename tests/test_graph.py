@@ -112,3 +112,89 @@ def test_components_over_contraction_equals_full_graph(spark):
         )
         want = sorted((r.node, r.component) for r in full.collect())
         assert got == want, f"threshold {threshold}"
+
+
+def test_is_star_forest_exactness(spark):
+    """The r14 convergence test must accept exactly the star forests
+    (downward-oriented, one edge per member, roots never sources) and
+    reject every mid-contraction shape — it replaced the r4-r13
+    probabilistic signature + exceptAll detect round, so its exactness
+    IS the fixpoint-stop correctness."""
+    from bigdataprojectspring16_spark.llmops.graph import _is_star_forest
+
+    def f(pairs):
+        return _is_star_forest(
+            spark.createDataFrame(pairs, "src long, dst long")
+        )
+
+    assert f([(2, 1), (3, 1)])  # one star
+    assert f([(2, 1), (3, 1), (5, 4)])  # forest of two stars
+    assert f([])  # empty edge set (all isolated) is converged
+    assert not f([(3, 2), (2, 1)])  # chain: 2 is both src and dst
+    assert not f([(3, 1), (3, 2)])  # src 3 appears twice
+    assert not f([(2, 1), (3, 1), (4, 3)])  # star plus a tail
+
+
+def test_cc_rounds_stop_on_producing_round(spark):
+    """A 2-node pair contracts to its star in round 1; the r14
+    star-forest stop must detect that on the producing round (the
+    r4-r13 scheme needed round 2 to observe sig stability)."""
+    nodes = spark.range(2).select(F.col("id").alias("node"))
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    labels, rounds = cc_with_rounds(nodes, e)
+    assert rounds == 1
+    assert {r.node: r.component for r in labels.collect()} == {0: 0, 1: 0}
+
+
+def test_cc_nodes_extra_columns_pass_through(spark):
+    """Extra node-frame columns must survive the label join unchanged
+    (the r14 carry path rides this)."""
+    nodes = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "node long, tag string"
+    )
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    labels = connected_components(nodes, e)
+    got = {(r.node, r.component, r.tag) for r in labels.collect()}
+    assert got == {(0, 0, "a"), (1, 0, "b"), (2, 2, "c")}
+
+
+def test_components_carry_matches_join_back(spark):
+    """carry=(...) must label identically to carry=() and return each
+    doc's OWN attributes (never the rep's) — value-equal to the r13
+    join-back it replaces."""
+    from bigdataprojectspring16_spark.llmops.graph import (
+        components_over_docs,
+    )
+    from bigdataprojectspring16_spark.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    plain = components_over_docs(d, 0.95)
+    joined = sorted(
+        (r.doc_id, r.component, r.n_chars, r.lang)
+        for r in plain.join(
+            d.select("doc_id", "n_chars", "lang"), "doc_id"
+        ).collect()
+    )
+    carried = sorted(
+        (r.doc_id, r.component, r.n_chars, r.lang)
+        for r in components_over_docs(
+            d, 0.95, carry=("n_chars", "lang")
+        ).collect()
+    )
+    assert carried == joined
+
+
+def test_bench_fixture_round_count_pinned(spark):
+    """The sf0.1 bench fixture's rep graph must converge in exactly 4
+    star rounds with the r14 star-forest stop (r13 sig-equality
+    needed 5) — this pins graph_cluster_keep_best's bench job count
+    deterministic (jobs_unstable stays empty; VERDICT r13 item 1)."""
+    from bigdataprojectspring16_spark.llmops.graph import (
+        _near_dup_edge_parts,
+    )
+    from bigdataprojectspring16_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.1", "documents")
+    rep_nodes, rep_edges, _spokes = _near_dup_edge_parts(d, 0.95)
+    _labels, rounds = cc_with_rounds(rep_nodes, rep_edges)
+    assert rounds == 4, f"sf0.1 rep graph converged in {rounds} rounds"

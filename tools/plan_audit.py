@@ -19,20 +19,25 @@ verdicts:
   broadcast-of-a-provably-tiny-frame cross joins (1-row totals, a
   single query vector, kxdim centroids, hyperplane buckets — see
   PLANS.md header); keys carrying one are listed for eyeball review.
-- ``CartesianProduct``            — listed for review like the BNLJ
-  class. The guide's ban is on DATA-SIZED cartesians; under the
-  declared-only broadcast rule (both thresholds -1) a cross of two
-  constant-bounded frames plans as CartesianProduct unless a
-  docstring-audited broadcast hint marks a side. The three sites on
-  the r13 registry were each adjudicated constant-bounded:
-  events_funnel (three 1-row global totals), events_moving_avg_7d
-  (date spine x distinct event-type vocabulary), sim_ann_lsh
-  (Range(16) x Range(64) hyperplane grid, under a BroadcastExchange).
+- ``CartesianProduct``            — gated against the adjudicated
+  allowlist (r14, ADVICE r13 #1): the guide's ban is on DATA-SIZED
+  cartesians; under the declared-only broadcast rule (both
+  thresholds -1) a cross of two constant-bounded frames plans as
+  CartesianProduct unless a docstring-audited broadcast hint marks a
+  side. The three allowlisted sites were each adjudicated
+  constant-bounded: events_funnel (three 1-row global totals),
+  events_moving_avg_7d (date spine x distinct event-type
+  vocabulary), sim_ann_lsh (Range(16) x Range(64) hyperplane grid,
+  under a BroadcastExchange). A cartesian on ANY OTHER key now FAILS
+  the audit instead of relying on a human to eyeball the list.
   tests/test_plan_shapes.py separately asserts ZERO cartesians in
   every pair-generating plan, where a data-sized one could hide.
 - per-key Exchange / join-operator counts and whether any scan
   carries a non-empty PushedFilters — the summary the brief asks to
-  "note" for every query.
+  "note" for every query. ``exch`` counts SHUFFLE exchanges only
+  (``\\bExchange\\b`` matches neither BroadcastExchange nor
+  ReusedExchange — ADVICE r13 #2); broadcasts are visible in the
+  join-operator column (every B*Join has one build side).
 
 Initial (pre-AQE) plans, same capture path as tools/dump_plans.py.
 
@@ -45,8 +50,18 @@ import sys
 sys.path.insert(0, ".")
 
 from bigdataprojectspring16_spark import QUERIES, get_session  # noqa: E402
+from plan_text import formatted_plan  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
+
+#: Keys whose CartesianProduct was adjudicated constant-bounded (see
+#: module docstring). A cartesian on any key NOT listed here fails
+#: the audit (ADVICE r13 #1 — the gate used to check only
+#: BatchEvalPython, so a future data-sized cartesian on a new key
+#: would have printed PASS).
+CARTESIAN_ALLOWLIST = frozenset(
+    ("events_funnel", "events_moving_avg_7d", "sim_ann_lsh")
+)
 
 JOIN_OPS = (
     "BroadcastHashJoin",
@@ -77,9 +92,7 @@ def main() -> int:
     )
     for key in sorted(QUERIES):
         df = QUERIES[key](spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = formatted_plan(df)
         # The formatted dump lists each node in the tree AND in the
         # node-detail section; count tree occurrences only (lines
         # like "+- Exchange (12)" / ":- BroadcastHashJoin ...").
@@ -111,14 +124,20 @@ def main() -> int:
         ) or "-"
         print(f"{key:34s} {n_exch:4d} {jtxt:28s} {ptxt:22s} {pushed}")
     print()
+    unlisted_cartesian = sorted(
+        set(bad_cartesian) - CARTESIAN_ALLOWLIST
+    )
     print(f"BatchEvalPython keys      : {bad_batch_eval or 'NONE'}")
     print(f"CartesianProduct keys     : {len(bad_cartesian)} "
-          f"(adjudicated constant-bounded — docstring): {bad_cartesian}")
+          f"(allowlisted constant-bounded): {bad_cartesian}")
+    print(f"  outside allowlist       : {unlisted_cartesian or 'NONE'}")
     print(f"BroadcastNestedLoopJoin   : {len(bnlj_keys)} keys "
           f"(sanctioned tiny-frame cross joins): {bnlj_keys}")
-    ok = not bad_batch_eval
+    ok = not bad_batch_eval and not unlisted_cartesian
     print(f"RESULT: {'PASS' if ok else 'FAIL'} "
-          f"(gate: BatchEvalPython == 0 on all {len(QUERIES)} keys)")
+          f"(gates: BatchEvalPython == 0 AND CartesianProduct only on "
+          f"the {len(CARTESIAN_ALLOWLIST)}-key allowlist, "
+          f"all {len(QUERIES)} keys)")
     spark.stop()
     return 0 if ok else 1
 

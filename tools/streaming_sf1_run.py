@@ -195,9 +195,17 @@ def feed_file(spark, chunk_dir, feed_dir, tag):
     which is why sf0.1 never hit it. rename(2) within one filesystem
     is atomic: the source sees the complete file or nothing.
     """
-    part = [
+    parts = [
         f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
-    ][0]
+    ]
+    # A chunk written without coalesce(1) would feed only its first
+    # part file and silently lose the rest (ADVICE r13 #3) — fail
+    # loudly instead.
+    assert len(parts) == 1, (
+        f"{chunk_dir}: expected exactly one .parquet part, "
+        f"found {len(parts)}: {sorted(parts)[:5]}"
+    )
+    part = parts[0]
     staged = os.path.join(
         os.path.dirname(feed_dir),
         f".staged_{os.path.basename(feed_dir)}_{tag}.parquet",
